@@ -1,0 +1,103 @@
+"""Differentiable projector: points (+rgb) -> voxels -> silhouette / image
+(SURVEY.md §2 "Voxel->silhouette projector", §3.1 splat/project call stack).
+
+Because splatting happens in post-perspective frustum space (see
+ops/camera.py), voxel->silhouette projection is a pure reduction along the
+depth axis — three variants, matching the DRC-style choices the reference
+exposes [SURVEY §2]:
+
+  * "drc": expected occupancy along the ray, sil = 1 - prod_d (1 - v_d);
+    ray-termination weights w_d = v_d * prod_{d'<d}(1 - v_{d'}) give the
+    expected-color image for RGB splatting (BASELINE config 5).
+  * "max": hard max over depth.
+  * "sum": clipped sum over depth.
+
+All reductions are static-shape jnp ops (cumprod lowers to an associative
+scan) — no data-dependent control flow, jit/vmap/grad-safe.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from tpu_unsup_pc.ops.camera import Camera, world_to_grid
+from tpu_unsup_pc.ops.gauss import smoothen_voxels
+from tpu_unsup_pc.ops.splat import (pointcloud_to_voxels,
+                                    static_gauss_radius)
+from tpu_unsup_pc.utils.config import Config
+
+
+class ProjectorOutput(NamedTuple):
+    silhouette: jnp.ndarray            # (H, W) in [0, 1]
+    voxels: jnp.ndarray                # (D, H, W) smoothed occupancy
+    rgb_image: Optional[jnp.ndarray]   # (H, W, 3) or None
+
+
+def collapse_to_silhouette(vox: jnp.ndarray, proj_mode: str = "drc",
+                           eps: float = 1e-6):
+    """(..., D, H, W) occupancy in [0,1] -> ((..., H, W) silhouette,
+    (..., D, H, W) ray-termination weights for expected-color compositing).
+    Depth axis is -3; index 0 is nearest the camera."""
+    v = jnp.clip(vox, 0.0, 1.0 - eps)
+    if proj_mode == "max":
+        sil = jnp.max(v, axis=-3)
+        # one-hot-ish weights at the argmax for color compositing
+        w = jnp.where(v == sil[..., None, :, :], 1.0, 0.0)
+        w = w / jnp.maximum(jnp.sum(w, axis=-3, keepdims=True), eps)
+        return sil, w * sil[..., None, :, :]
+    if proj_mode == "sum":
+        sil = jnp.clip(jnp.sum(v, axis=-3), 0.0, 1.0)
+        w = v / jnp.maximum(jnp.sum(v, axis=-3, keepdims=True), eps)
+        return sil, w * sil[..., None, :, :]
+    # "drc": transmittance compositing
+    trans = jnp.cumprod(1.0 - v, axis=-3)                  # T_d after cell d
+    trans_before = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1, :, :]), trans[..., :-1, :, :]],
+        axis=-3)                                           # T before cell d
+    w = v * trans_before                                   # stop at cell d
+    sil = 1.0 - trans[..., -1, :, :]                       # = sum_d w_d
+    return sil, w
+
+
+def project_pointcloud(points: jnp.ndarray, cam: Camera, sigma,
+                       cfg: Config, rgb: jnp.ndarray | None = None,
+                       ) -> ProjectorOutput:
+    """The core differentiable projector (the op the notebook API `project`
+    wraps and the op the headline benchmark times [BASELINE.json:2]).
+
+    Args:
+      points: (N, 3) world-frame point cloud in [-0.5, 0.5]^3.
+      cam: Camera (unbatched here; vmap for batches of views).
+      sigma: splatting sigma in voxel cells (traced; annealed).
+      cfg: static Config (vox_size, splat/proj modes, frustum geometry).
+      rgb: optional (N, 3) per-point colors in [0, 1].
+
+    Returns ProjectorOutput(silhouette (H,W), voxels (D,H,W),
+    rgb_image (H,W,3) | None). Differentiable w.r.t. points, rgb, sigma and
+    the camera pose.
+    """
+    D = cfg.vox_size
+    radius = static_gauss_radius(max(cfg.sigma_start, cfg.sigma_end))
+    g = world_to_grid(points, cam, D, cfg.depth_extent)    # (N, 3)
+    grids = pointcloud_to_voxels(
+        g, D, sigma, rgb=rgb, splat_mode=cfg.splat_mode, radius=radius,
+        chunk=cfg.point_chunk, use_pallas=cfg.use_pallas)
+    occ = grids["occupancy"]
+    rgb_grid = grids.get("rgb")                            # (3, D, H, W)
+    if cfg.splat_mode == "trilinear_blur":
+        occ = smoothen_voxels(occ, sigma, radius)
+        if rgb_grid is not None:
+            rgb_grid = smoothen_voxels(rgb_grid, sigma, radius)
+    occ_unclipped = occ                                    # for color norm
+    if cfg.clip_voxels:
+        occ = jnp.clip(occ, 0.0, 1.0)
+
+    sil, w = collapse_to_silhouette(occ, cfg.proj_mode)
+    rgb_image = None
+    if rgb_grid is not None:
+        # mean color per cell (mass-weighted), then expected color along ray
+        cell_color = rgb_grid / jnp.maximum(occ_unclipped, 1e-6)
+        rgb_image = jnp.einsum("dhw,cdhw->hwc", w, cell_color)
+    return ProjectorOutput(silhouette=sil, voxels=occ, rgb_image=rgb_image)

@@ -1,0 +1,258 @@
+"""Point-cloud -> voxel splatting (SURVEY.md §2 "Point->voxel splatter" — the
+compute heart of the framework, L2).
+
+The reference builds this op from dense gather/scatter (torch index ops)
+[SURVEY §2, BASELINE north_star]. Scatter is the *wrong* primitive for a TPU:
+there are no efficient atomics and XLA serializes conflicting updates. The
+TPU-native formulation used here exploits that both trilinear and Gaussian
+footprints are **separable**:
+
+    vox[d, h, w] = sum_n  value[n] * Wd[n, d] * Wh[n, h] * Ww[n, w]
+
+where Wd/Wh/Ww are per-axis footprint weights (hat or Gaussian of the
+distance between the point's fractional grid coordinate and the cell
+center). That triple contraction is two dense matmuls per point-chunk:
+
+    P  = (Wd_chunk ⊗ Wh_chunk)          # (c, D*H)  outer product, VPU
+    vox += P^T @ Ww_chunk               # (D*H, W)  matmul, MXU
+
+— race-free by construction, fully differentiable by autodiff (backward is
+more matmuls on the MXU), static shapes, no scatter anywhere. The Gaussian
+mode additionally *fuses the sigma-annealed smoothing into the splat* (fat
+footprints are just denser weight rows), eliminating the reference's separate
+3D blur pass on the fast path.
+
+A classic scatter-add path (`splat_trilinear`) is kept as the semantics
+oracle: `trilinear_blur` mode == scatter + separable blur, and tests pin the
+matmul path against it exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Scatter-add reference path (semantics oracle; also fine on CPU)
+# ---------------------------------------------------------------------------
+
+def splat_trilinear(grid_coords: jnp.ndarray, vox_size: int,
+                    values: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Trilinear scatter of N points into a D^3 grid.
+
+    Args:
+      grid_coords: (N, 3) fractional voxel indices in (depth, row, col) order
+        (from ops.camera.world_to_grid). Out-of-range contributions drop.
+      vox_size: D (static).
+      values: optional (N, C) per-point values (e.g. RGB); default mass 1.
+
+    Returns: (D, D, D) occupancy, or (C, D, D, D) when values is given.
+    """
+    D = vox_size
+    N = grid_coords.shape[-2]
+    base = jnp.floor(grid_coords)                       # (N, 3)
+    frac = grid_coords - base                           # (N, 3)
+    base = base.astype(jnp.int32)
+
+    # 8 corners: offsets in {0,1}^3
+    offsets = jnp.asarray(
+        [[dz, dy, dx] for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+        dtype=jnp.int32)                                # (8, 3)
+    corner = base[:, None, :] + offsets[None, :, :]     # (N, 8, 3)
+    w_axis = jnp.where(offsets[None, :, :] == 1,
+                       frac[:, None, :], 1.0 - frac[:, None, :])
+    weight = jnp.prod(w_axis, axis=-1)                  # (N, 8)
+
+    in_bounds = jnp.all((corner >= 0) & (corner < D), axis=-1)
+    weight = jnp.where(in_bounds, weight, 0.0)
+    corner = jnp.clip(corner, 0, D - 1)
+    flat_idx = (corner[..., 0] * D + corner[..., 1]) * D + corner[..., 2]
+
+    if values is None:
+        vox = jnp.zeros((D * D * D,), grid_coords.dtype)
+        vox = vox.at[flat_idx.reshape(-1)].add(weight.reshape(-1))
+        return vox.reshape(D, D, D)
+    C = values.shape[-1]
+    contrib = weight[..., None] * values[:, None, :]    # (N, 8, C)
+    vox = jnp.zeros((D * D * D, C), grid_coords.dtype)
+    vox = vox.at[flat_idx.reshape(N * 8)].add(contrib.reshape(N * 8, C))
+    return jnp.moveaxis(vox.reshape(D, D, D, C), -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Separable footprint weights
+# ---------------------------------------------------------------------------
+
+def _hat_weights(g: jnp.ndarray, vox_size: int) -> jnp.ndarray:
+    """Per-axis trilinear hat weights: (N,) coords -> (N, D)."""
+    cells = jnp.arange(vox_size, dtype=g.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(g[:, None] - cells[None, :]))
+
+
+def gauss_normalizer(g: jnp.ndarray, sigma, radius: int) -> jnp.ndarray:
+    """Discrete-infinite-grid Gaussian mass per point:
+    Z(g) = sum_{k in Z} exp(-(g-k)^2 / 2 sigma^2), computed exactly over a
+    static window of `radius` around the point (the sum only depends on
+    frac(g); terms beyond ~4 sigma are negligible). Dividing by Z makes each
+    interior point deposit exactly unit mass per axis — matching the
+    reference's normalized blur kernels — while points straddling the grid
+    edge lose mass naturally (as they do under zero-padded blur).
+    """
+    r = g - jnp.floor(g)                                 # in [0, 1)
+    k = jnp.arange(-radius, radius + 2, dtype=g.dtype)   # covers both tails
+    z = jnp.exp(-((r[:, None] - k[None, :]) ** 2) / (2.0 * sigma ** 2))
+    return jnp.sum(z, axis=-1)                           # (N,)
+
+
+def _gauss_weights(g: jnp.ndarray, vox_size: int, sigma,
+                   radius: int) -> jnp.ndarray:
+    """Per-axis normalized Gaussian weights: (N,) -> (N, D). Rows of points
+    far outside the grid decay to ~0 (natural out-of-frustum culling)."""
+    cells = jnp.arange(vox_size, dtype=g.dtype)
+    w = jnp.exp(-((g[:, None] - cells[None, :]) ** 2) / (2.0 * sigma ** 2))
+    return w / gauss_normalizer(g, sigma, radius)[:, None]
+
+
+def static_gauss_radius(sigma_max: float) -> int:
+    """Static truncation radius for a (possibly annealed) sigma: 4*sigma_max,
+    so the normalizer window is exact to float precision for any traced
+    sigma <= sigma_max."""
+    return max(2, int(math.ceil(4.0 * sigma_max)) + 1)
+
+
+# ---------------------------------------------------------------------------
+# Separable-matmul accumulation (the MXU path)
+# ---------------------------------------------------------------------------
+
+def _separable_accumulate(wd: jnp.ndarray, wh: jnp.ndarray, ww: jnp.ndarray,
+                          values: jnp.ndarray | None,
+                          chunk: int) -> jnp.ndarray:
+    """Contract sum_n value[n,c] * wd[n,d] * wh[n,h] * ww[n,w] -> (C?,D,H,W)
+    by scanning point-chunks and accumulating two matmuls per chunk. The
+    (c, D*H) outer-product intermediate stays small enough to live on-chip
+    for D <= 128, and the (D*H, c) @ (c, W) contraction runs on the MXU.
+    """
+    N, D = wd.shape
+    H, W = wh.shape[1], ww.shape[1]
+    C = 0 if values is None else values.shape[-1]
+
+    pad = (-N) % chunk
+    if pad:
+        wd = jnp.pad(wd, ((0, pad), (0, 0)))
+        wh = jnp.pad(wh, ((0, pad), (0, 0)))
+        ww = jnp.pad(ww, ((0, pad), (0, 0)))
+        if values is not None:
+            values = jnp.pad(values, ((0, pad), (0, 0)))
+    n_chunks = wd.shape[0] // chunk
+
+    def body(acc, xs):
+        if values is None:
+            wd_c, wh_c, ww_c = xs
+            p = (wd_c[:, :, None] * wh_c[:, None, :]).reshape(chunk, D * H)
+            acc = acc + jnp.dot(p.T, ww_c,
+                                preferred_element_type=jnp.float32)
+        else:
+            wd_c, wh_c, ww_c, v_c = xs
+            p = (wd_c[:, :, None] * wh_c[:, None, :]).reshape(chunk, D * H)
+            scaled = ww_c[:, None, :] * v_c[:, :, None]   # (chunk, C, W)
+            acc = acc + jax.lax.dot_general(
+                p, scaled, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (D*H, C, W)
+        return acc, None
+
+    if values is None:
+        init = jnp.zeros((D * H, W), jnp.float32)
+        xs = (wd.reshape(n_chunks, chunk, D), wh.reshape(n_chunks, chunk, H),
+              ww.reshape(n_chunks, chunk, W))
+        acc, _ = jax.lax.scan(body, init, xs)
+        return acc.reshape(D, H, W)
+    init = jnp.zeros((D * H, C, W), jnp.float32)
+    xs = (wd.reshape(n_chunks, chunk, D), wh.reshape(n_chunks, chunk, H),
+          ww.reshape(n_chunks, chunk, W),
+          values.reshape(n_chunks, chunk, C))
+    acc, _ = jax.lax.scan(body, init, xs)
+    return jnp.moveaxis(acc.reshape(D, H, C, W), 2, 0)    # (C, D, H, W)
+
+
+@partial(jax.jit, static_argnames=("vox_size", "mode", "radius", "chunk",
+                                   "hat_correction"))
+def splat_gauss_separable(grid_coords: jnp.ndarray, vox_size: int, sigma,
+                          values: jnp.ndarray | None = None,
+                          mode: str = "gauss", radius: int = 13,
+                          chunk: int = 512,
+                          hat_correction: bool = True) -> jnp.ndarray:
+    """Fused separable splat (the TPU fast path).
+
+    Args:
+      grid_coords: (N, 3) fractional voxel indices (depth, row, col).
+      vox_size: D (static).
+      sigma: Gaussian footprint std in cells (traced; annealed per step).
+        Ignored for mode="hat".
+      values: optional (N, C) per-point values.
+      mode: "gauss" — analytic Gaussian footprint, fuses splat+smooth;
+            "hat"   — trilinear footprint (for equivalence vs scatter path).
+      radius: static normalizer window, >= 4*max(sigma) (see
+        static_gauss_radius).
+      chunk: point-chunk size for the scan.
+      hat_correction: widen the Gaussian to sqrt(sigma^2 + 1/6) so the fused
+        footprint matches the reference's trilinear-splat-then-blur (the hat
+        filter contributes variance 1/6 cell^2). Default True: `sigma` then
+        means the same thing in both splat modes.
+
+    Returns: (D, D, D) or (C, D, D, D), float32.
+    """
+    D = vox_size
+    gz, gy, gx = grid_coords[:, 0], grid_coords[:, 1], grid_coords[:, 2]
+    if mode == "hat":
+        wd, wh, ww = (_hat_weights(g, D) for g in (gz, gy, gx))
+    else:
+        sigma = jnp.asarray(sigma, grid_coords.dtype)
+        if hat_correction:
+            sigma = jnp.sqrt(sigma ** 2 + 1.0 / 6.0)
+        wd, wh, ww = (_gauss_weights(g, D, sigma, radius)
+                      for g in (gz, gy, gx))
+    return _separable_accumulate(wd, wh, ww, values, chunk)
+
+
+# ---------------------------------------------------------------------------
+# Top-level dispatch
+# ---------------------------------------------------------------------------
+
+def pointcloud_to_voxels(grid_coords: jnp.ndarray, vox_size: int, sigma,
+                         rgb: jnp.ndarray | None = None,
+                         splat_mode: str = "gauss", radius: int = 13,
+                         chunk: int = 512,
+                         use_pallas: bool = False) -> dict:
+    """Splat a point cloud into {occupancy (D,D,D)[, rgb (3,D,D,D)]}.
+
+    splat_mode:
+      "gauss"          — fused separable-Gaussian matmul splat (default; the
+                         sigma-smoothing is inside the footprint).
+      "trilinear_blur" — scatter-add trilinear splat; caller applies
+                         ops.gauss.smoothen_voxels afterward (reference
+                         semantics; the parity-contract path).
+    """
+    if splat_mode == "trilinear_blur":
+        occ = splat_trilinear(grid_coords, vox_size)
+        out = {"occupancy": occ}
+        if rgb is not None:
+            out["rgb"] = splat_trilinear(grid_coords, vox_size, rgb)
+        return out
+    if use_pallas:
+        from tpu_unsup_pc.ops.pallas.splat_kernel import splat_gauss_pallas
+        return splat_gauss_pallas(grid_coords, vox_size, sigma, rgb=rgb,
+                                  radius=radius, chunk=chunk)
+    if rgb is None:
+        occ = splat_gauss_separable(grid_coords, vox_size, sigma,
+                                    radius=radius, chunk=chunk)
+        return {"occupancy": occ}
+    # Fuse occupancy + RGB into one 4-channel pass: the per-axis weights are
+    # shared, so one contraction with values = [1, r, g, b] halves the work.
+    vals = jnp.concatenate([jnp.ones_like(rgb[:, :1]), rgb], axis=-1)
+    grids = splat_gauss_separable(grid_coords, vox_size, sigma, values=vals,
+                                  radius=radius, chunk=chunk)
+    return {"occupancy": grids[0], "rgb": grids[1:]}

@@ -1,0 +1,104 @@
+"""Config system (SURVEY.md §2 "Config system", L0).
+
+The reference uses a flat ``app_config``-style global flag object [SURVEY §2,
+unverified layout]. Here the TPU-native equivalent is a frozen dataclass: pure
+data, hashable, safe to close over in jitted functions, and serializable. The
+experiment axes are exactly BASELINE.json's five configs (category set,
+resolution 64/128, point count 2k/8k, pose mode, sigma schedule, RGB, mesh
+shape) — named presets live in ``tpu_unsup_pc/configs/presets.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Full experiment configuration. All fields static (shape-determining
+    fields must be Python ints so jit traces to static shapes)."""
+
+    # ---- data ----
+    image_size: int = 64           # input / silhouette resolution (64 or 128)
+    num_views: int = 5             # views per model in a training sample
+    categories: Tuple[str, ...] = ("03001627",)  # shapenet synset ids
+    dataset: str = "synthetic"     # "synthetic" | "shapenet"
+    data_dir: str = "data/shapenet"
+
+    # ---- model (SURVEY §2: encoder / decoder / pose head) ----
+    pc_num_points: int = 2000      # N: 2000 or 8000
+    latent_dim: int = 1024
+    enc_channels: Tuple[int, ...] = (32, 64, 128, 256)
+    fc_dims: Tuple[int, ...] = (1024, 1024)
+    predict_rgb: bool = False      # per-point RGB (BASELINE config 5)
+    predict_scale: bool = False    # learned global sigma scale (paper §3.1)
+
+    # ---- pose (SURVEY §2 "Pose regressor + candidate ensemble") ----
+    predict_pose: bool = False     # False => ground-truth pose (configs 1,2,4,5)
+    pose_candidates: int = 4       # K candidate quaternions
+    pose_student_weight: float = 20.0  # weight on student->teacher loss
+    predict_translation: bool = False  # regress camera distance offset too
+
+    # ---- projector (SURVEY §2 splatter/smoothing/projection, L2) ----
+    vox_size: int = 64             # D: voxel grid D^3 (64 or 128)
+    focal_length: float = 1.875    # pinhole focal (units of half-image planes)
+    camera_distance: float = 2.0   # object center distance along camera z
+    depth_extent: float = 1.2      # frustum depth range centered at camera_distance
+    splat_mode: str = "gauss"      # "gauss" (fused MXU path) | "trilinear_blur"
+    proj_mode: str = "drc"         # "drc" | "max" | "sum"
+    clip_voxels: bool = True       # clip occupancy grid to [0, 1] post-smooth
+    # sigma annealing (coarse->fine, SURVEY §2 "sigma annealing")
+    sigma_start: float = 3.0       # in voxel cells at vox_size resolution
+    sigma_end: float = 0.6
+    sigma_anneal_steps: int = 30000
+    sigma_schedule: str = "exp"    # "exp" | "linear" | "const"
+
+    # ---- training ----
+    batch_size: int = 8            # models per global batch
+    learning_rate: float = 1e-4
+    lr_schedule: str = "const"     # "const" | "cosine"
+    max_steps: int = 100_000
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 0.0    # 0 disables
+    seed: int = 0
+    dtype: str = "float32"         # compute dtype for nets: "float32"|"bfloat16"
+
+    # ---- runtime / parallel (SURVEY §2.2: DP over a v5e-8 mesh) ----
+    mesh_shape: Tuple[int, ...] = (1,)       # data-parallel mesh, e.g. (8,)
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    use_pallas: bool = False       # fused Pallas splat kernel (speed retrofit)
+    point_chunk: int = 512         # chunk size for the separable-matmul splat
+
+    # ---- checkpoint / logging ----
+    ckpt_dir: str = "checkpoints"
+    ckpt_every: int = 2000
+    log_every: int = 100
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        for k in ("categories", "enc_channels", "fc_dims", "mesh_shape",
+                  "mesh_axis_names"):
+            if k in d and isinstance(d[k], list):
+                d[k] = tuple(d[k])
+        return cls(**d)
+
+    def validate(self) -> "Config":
+        assert self.image_size in (32, 64, 128), self.image_size
+        assert self.vox_size in (32, 64, 128), self.vox_size
+        assert self.splat_mode in ("gauss", "trilinear_blur"), self.splat_mode
+        assert self.proj_mode in ("drc", "max", "sum"), self.proj_mode
+        assert self.sigma_schedule in ("exp", "linear", "const")
+        assert self.pc_num_points > 0 and self.num_views >= 1
+        if self.predict_pose:
+            assert self.pose_candidates >= 1
+        return self
