@@ -1,0 +1,78 @@
+"""Data layer tests: synthetic generator schema + shapenet npz round trip
+(SURVEY.md §4.4)."""
+
+import numpy as np
+
+from tpu_unsup_pc.configs import presets
+from tpu_unsup_pc.data import ShapeNetViews, SyntheticShapes, make_dataset
+from tpu_unsup_pc.data.shapenet import write_npz_dataset
+
+CFG = presets.get("tiny")
+
+
+def test_synthetic_schema():
+    ds = SyntheticShapes(CFG, num_models=8)
+    b = ds.sample_batch(3)
+    V, H = CFG.num_views, CFG.image_size
+    assert b["image"].shape == (3, V, H, H, 3)
+    assert b["mask"].shape == (3, V, H, H)
+    assert b["azimuth"].shape == (3, V)
+    assert set(np.unique(b["mask"])) <= {0.0, 1.0}
+    assert b["image"].min() >= 0 and b["image"].max() <= 1
+    # masks are nonempty and not full-frame
+    frac = b["mask"].mean()
+    assert 0.02 < frac < 0.8, frac
+
+
+def test_synthetic_deterministic():
+    a = SyntheticShapes(CFG, num_models=4, seed=7)
+    b = SyntheticShapes(CFG, num_models=4, seed=7)
+    np.testing.assert_array_equal(a.masks, b.masks)
+    np.testing.assert_array_equal(a.gt_points, b.gt_points)
+
+
+def test_npz_round_trip(tmp_path):
+    ds = SyntheticShapes(CFG, num_models=6)
+    write_npz_dataset(str(tmp_path), "03001627", ds.images, ds.masks,
+                      ds.azimuth, ds.elevation, split="train")
+    cfg = CFG.replace(dataset="shapenet", data_dir=str(tmp_path),
+                      categories=("03001627",))
+    loader = ShapeNetViews(cfg)
+    assert len(loader) == 6
+    b = loader.sample_batch(2)
+    V, H = CFG.num_views, CFG.image_size
+    assert b["image"].shape == (2, V, H, H, 3)
+    assert b["mask"].shape == (2, V, H, H)
+    # masks survive the uint8 round trip exactly (they're binary)
+    idx = int(loader._rng.integers(0, 6))
+    direct = ds.masks[idx]
+    via_disk = loader._load_model(loader.models[idx])["mask"]
+    np.testing.assert_allclose(via_disk, direct, atol=1e-6)
+
+
+def test_prefetching_batches(tmp_path):
+    ds = SyntheticShapes(CFG, num_models=4)
+    write_npz_dataset(str(tmp_path), "03001627", ds.images, ds.masks,
+                      ds.azimuth, ds.elevation, split="train")
+    cfg = CFG.replace(dataset="shapenet", data_dir=str(tmp_path),
+                      categories=("03001627",))
+    loader = ShapeNetViews(cfg)
+    batches = list(loader.batches(steps=5, batch_size=2))
+    assert len(batches) == 5
+
+
+def test_category_filter(tmp_path):
+    ds = SyntheticShapes(CFG, num_models=2)
+    write_npz_dataset(str(tmp_path), "catA", ds.images, ds.masks,
+                      ds.azimuth, ds.elevation)
+    write_npz_dataset(str(tmp_path), "catB", ds.images, ds.masks,
+                      ds.azimuth, ds.elevation)
+    cfg = CFG.replace(dataset="shapenet", data_dir=str(tmp_path),
+                      categories=("catB",))
+    assert len(ShapeNetViews(cfg)) == 2
+    cfg_all = cfg.replace(categories=("catA", "catB"))
+    assert len(ShapeNetViews(cfg_all)) == 4
+
+
+def test_factory():
+    assert isinstance(make_dataset(CFG, num_models=2), SyntheticShapes)

@@ -1,0 +1,64 @@
+"""Named experiment presets — one per BASELINE.json config line
+(SURVEY.md §5 "Config / flag system"). `c*_synth` variants swap the dataset
+for the procedural one so every preset is runnable with no data on disk."""
+
+from __future__ import annotations
+
+from tpu_unsup_pc.utils.config import Config
+
+_SHAPENET_13 = (
+    "02691156", "02828884", "02933112", "02958343", "03001627", "03211117",
+    "03636649", "03691459", "04090263", "04256520", "04379243", "04401088",
+    "04530566")
+
+_PRESETS = {
+    # BASELINE config 1: chairs, 64px, 2k pts, GT pose (CPU-runnable slice)
+    "c1_chairs_gt": Config(
+        categories=("03001627",), dataset="shapenet", image_size=64,
+        vox_size=64, pc_num_points=2000, predict_pose=False, batch_size=8),
+    # BASELINE config 2: airplanes+cars, 64px, 8k pts, known pose
+    "c2_planes_cars_8k": Config(
+        categories=("02691156", "02958343"), dataset="shapenet",
+        image_size=64, vox_size=64, pc_num_points=8000, predict_pose=False,
+        batch_size=8),
+    # BASELINE config 3: unknown pose w/ candidate ensemble, chairs
+    "c3_chairs_pose": Config(
+        categories=("03001627",), dataset="shapenet", image_size=64,
+        vox_size=64, pc_num_points=2000, predict_pose=True,
+        pose_candidates=4, batch_size=8, source_views=2),
+    # BASELINE config 4: 128px + sigma annealing, all 13 categories
+    "c4_allcat_128": Config(
+        categories=_SHAPENET_13, dataset="shapenet", image_size=128,
+        vox_size=128, pc_num_points=8000, predict_pose=False,
+        sigma_start=3.0, sigma_end=0.5, sigma_anneal_steps=60000,
+        batch_size=4, source_views=1),
+    # BASELINE config 5: RGB appearance splatting, sharded over v5e-8
+    "c5_rgb_sharded": Config(
+        categories=("03001627",), dataset="shapenet", image_size=64,
+        vox_size=64, pc_num_points=2000, predict_rgb=True,
+        predict_pose=False, batch_size=16, mesh_shape=(8,)),
+}
+
+# synthetic-data variants (identical model/projector settings, no disk data)
+for _name, _cfg in list(_PRESETS.items()):
+    _PRESETS[_name.split("_")[0] + "_synth"] = _cfg.replace(
+        dataset="synthetic")
+
+# tiny config for CI / integration tests
+_PRESETS["tiny"] = Config(
+    dataset="synthetic", image_size=32, vox_size=32, pc_num_points=256,
+    latent_dim=128, enc_channels=(8, 16, 32), fc_dims=(128,),
+    num_views=3, batch_size=2, sigma_start=2.0, sigma_end=0.8,
+    sigma_anneal_steps=100, point_chunk=64, learning_rate=3e-4)
+
+
+def get(name: str) -> Config:
+    try:
+        return _PRESETS[name].validate()
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; "
+                       f"available: {sorted(_PRESETS)}") from None
+
+
+def names():
+    return sorted(_PRESETS)

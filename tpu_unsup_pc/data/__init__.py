@@ -1,0 +1,14 @@
+from tpu_unsup_pc.data.synthetic import SyntheticShapes  # noqa: F401
+from tpu_unsup_pc.data.shapenet import (  # noqa: F401
+    ShapeNetViews, write_npz_dataset,
+)
+
+
+def make_dataset(cfg, split: str = "train", **kw):
+    """Dataset factory behind the common Iterator[Batch] protocol
+    (SURVEY.md §7.1 item 6)."""
+    if cfg.dataset == "synthetic":
+        return SyntheticShapes(cfg, split=split, **kw)
+    if cfg.dataset == "shapenet":
+        return ShapeNetViews(cfg, split=split, **kw)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")

@@ -1,0 +1,134 @@
+"""ShapeNet multi-view loader (SURVEY.md §2 "Dataset", L6).
+
+On-disk format (documented contract — the reference's exact tfrecord layout
+is unverifiable with the mount empty [SURVEY §0], so this defines a clean
+npz-shard format plus a converter entry point):
+
+    <data_dir>/<category_synset>/<model_id>.npz
+        image:     (V, H, W, 3) uint8
+        mask:      (V, H, W)    uint8   (0/255)
+        azimuth:   (V,) float32 radians
+        elevation: (V,) float32 radians
+    <data_dir>/index_<split>.json   {"models": ["<cat>/<id>.npz", ...]}
+
+The loader is a host-side pipeline: a thread pool decodes npz files ahead of
+the train loop into a bounded prefetch queue (double-buffering the
+host->device boundary [SURVEY §3.1]), and every batch has identical static
+shapes so one jit covers the whole run."""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Dict, Iterator, Sequence
+
+import numpy as np
+
+from tpu_unsup_pc.utils.config import Config
+
+
+class ShapeNetViews:
+    """Iterator[Batch] over npz shards; schema matches SyntheticShapes."""
+
+    def __init__(self, cfg: Config, split: str = "train",
+                 data_dir: str | None = None, prefetch: int = 4,
+                 num_workers: int = 4, seed: int | None = None):
+        self.cfg = cfg
+        self.data_dir = data_dir or cfg.data_dir
+        index_path = os.path.join(self.data_dir, f"index_{split}.json")
+        with open(index_path) as f:
+            index = json.load(f)
+        models = index["models"]
+        if cfg.categories:
+            cats = set(cfg.categories)
+            models = [m for m in models if m.split("/")[0] in cats]
+        if not models:
+            raise ValueError(
+                f"no models for categories {cfg.categories} in {index_path}")
+        self.models = models
+        self._rng = np.random.default_rng(cfg.seed if seed is None else seed)
+        self._prefetch = prefetch
+        self._num_workers = num_workers
+
+    def __len__(self):
+        return len(self.models)
+
+    def _load_model(self, rel: str) -> Dict[str, np.ndarray]:
+        with np.load(os.path.join(self.data_dir, rel)) as z:
+            img = z["image"].astype(np.float32) / 255.0
+            mask = z["mask"].astype(np.float32)
+            if mask.max() > 1.5:
+                mask = mask / 255.0
+            V = self.cfg.num_views
+            return {"image": img[:V], "mask": mask[:V],
+                    "azimuth": z["azimuth"][:V].astype(np.float32),
+                    "elevation": z["elevation"][:V].astype(np.float32)}
+
+    def sample_batch(self, batch_size: int | None = None) -> Dict:
+        bs = batch_size or self.cfg.batch_size
+        idx = self._rng.integers(0, len(self.models), size=bs)
+        loaded = [self._load_model(self.models[i]) for i in idx]
+        return {k: np.stack([d[k] for d in loaded]) for k in loaded[0]}
+
+    def batches(self, steps: int,
+                batch_size: int | None = None) -> Iterator[Dict]:
+        """Prefetching batch stream: worker threads stay `prefetch` batches
+        ahead of the consumer so npz decode overlaps device compute."""
+        bs = batch_size or self.cfg.batch_size
+        q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for _ in range(steps):
+                if stop.is_set():
+                    return
+                q.put(self.sample_batch(bs))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                b = q.get()
+                if b is None:
+                    return
+                yield b
+        finally:
+            stop.set()
+
+    def __iter__(self):
+        while True:
+            yield self.sample_batch()
+
+
+def write_npz_dataset(out_dir: str, category: str,
+                      images: np.ndarray, masks: np.ndarray,
+                      azimuth: np.ndarray, elevation: np.ndarray,
+                      split: str = "train",
+                      model_ids: Sequence[str] | None = None) -> None:
+    """Write (M,V,...) arrays as the npz-shard format above. Used by tests
+    (synthetic -> disk -> loader round trip) and as the conversion target
+    for real ShapeNet renders."""
+    cat_dir = os.path.join(out_dir, category)
+    os.makedirs(cat_dir, exist_ok=True)
+    M = images.shape[0]
+    ids = model_ids or [f"model_{i:05d}" for i in range(M)]
+    rels = []
+    for i in range(M):
+        rel = f"{category}/{ids[i]}.npz"
+        np.savez_compressed(
+            os.path.join(out_dir, rel),
+            image=(np.clip(images[i], 0, 1) * 255).astype(np.uint8),
+            mask=(masks[i] > 0.5).astype(np.uint8) * 255,
+            azimuth=azimuth[i].astype(np.float32),
+            elevation=elevation[i].astype(np.float32))
+        rels.append(rel)
+    index_path = os.path.join(out_dir, f"index_{split}.json")
+    existing = []
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            existing = json.load(f)["models"]
+    with open(index_path, "w") as f:
+        json.dump({"models": existing + rels}, f)

@@ -1,0 +1,160 @@
+"""Synthetic analytic dataset (SURVEY.md §4.4, §7.1 item 6): procedural
+shapes -> multi-view silhouette/RGB renders, generated on-device with the
+framework's own projector at a fine, *fixed* sigma (the model never sees GT
+points, so the rendering mechanism doesn't leak the answer — it only defines
+the target silhouettes, exactly as ShapeNet's Blender renders do for the
+reference).
+
+This unblocks the full end-to-end train/eval pipeline with zero data on
+disk, and doubles as the generator for loader tests (see
+data/shapenet.write_npz_dataset)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unsup_pc.ops.camera import make_camera
+from tpu_unsup_pc.ops.project import project_pointcloud
+from tpu_unsup_pc.utils.config import Config
+
+_N_GT = 4096  # GT points per model (for rendering + chamfer eval)
+
+
+# ------------------------------------------------------------ shape makers
+def _sphere(rng, n):
+    v = rng.normal(size=(n, 3))
+    return v / np.linalg.norm(v, axis=1, keepdims=True) * 0.5
+
+
+def _box(rng, n):
+    # points on the surface of a unit cube
+    face = rng.integers(0, 6, size=n)
+    uv = rng.uniform(-0.5, 0.5, size=(n, 2))
+    pts = np.zeros((n, 3))
+    axis, sign = face % 3, (face // 3) * 2 - 1
+    for a in range(3):
+        m = axis == a
+        others = [i for i in range(3) if i != a]
+        pts[m, a] = 0.5 * sign[m]
+        pts[m, others[0]] = uv[m, 0]
+        pts[m, others[1]] = uv[m, 1]
+    return pts
+
+
+def _cylinder(rng, n):
+    th = rng.uniform(0, 2 * np.pi, size=n)
+    side = rng.uniform(size=n) < 0.7
+    z = rng.uniform(-0.5, 0.5, size=n)
+    r = np.where(side, 0.5, np.sqrt(rng.uniform(size=n)) * 0.5)
+    z = np.where(side, z, np.sign(z) * 0.5)
+    return np.stack([r * np.cos(th), z, r * np.sin(th)], axis=1)
+
+
+def _torus(rng, n):
+    u = rng.uniform(0, 2 * np.pi, size=n)
+    v = rng.uniform(0, 2 * np.pi, size=n)
+    R, r = 0.35, 0.15
+    return np.stack([(R + r * np.cos(v)) * np.cos(u), r * np.sin(v),
+                     (R + r * np.cos(v)) * np.sin(u)], axis=1)
+
+
+def _twin_spheres(rng, n):
+    v = _sphere(rng, n) * 0.55
+    offs = np.where(rng.uniform(size=(n, 1)) < 0.5, 0.22, -0.22)
+    return v + np.concatenate([offs, np.zeros((n, 2))], axis=1)
+
+
+_MAKERS = [_sphere, _box, _cylinder, _torus, _twin_spheres]
+
+
+def _make_cloud(rng, n):
+    pts = _MAKERS[rng.integers(len(_MAKERS))](rng, n)
+    scale = rng.uniform(0.45, 0.9, size=(1, 3))      # anisotropic squash
+    pts = (pts * scale).astype(np.float32)
+    rgb = np.clip(pts + 0.5, 0.0, 1.0).astype(np.float32)  # position color
+    return pts, rgb
+
+
+# --------------------------------------------------------------- renderer
+@functools.partial(jax.jit, static_argnames=("cfg", "render_sigma"))
+def _render_views(cfg: Config, points, rgb, azimuth, elevation,
+                  render_sigma: float = 0.7):
+    """(M,N,3) clouds + (M,V) poses -> masks (M,V,H,W), images (M,V,H,W,3).
+    Binary-ish masks by thresholding the fine-sigma silhouette."""
+    render_cfg = cfg.replace(splat_mode="gauss", proj_mode="drc",
+                             vox_size=max(cfg.vox_size, cfg.image_size))
+
+    def one(pts, col, az, el):
+        cam = make_camera(az, el, cfg.camera_distance, cfg.focal_length)
+        out = project_pointcloud(pts, cam, render_sigma, render_cfg, rgb=col)
+        mask = (out.silhouette > 0.4).astype(jnp.float32)
+        img = (out.rgb_image * out.silhouette[..., None]
+               + (1.0 - out.silhouette[..., None]))    # white background
+        return mask, img
+
+    per_view = jax.vmap(one, in_axes=(None, None, 0, 0))
+    per_model = jax.vmap(per_view, in_axes=(0, 0, 0, 0))
+    return per_model(points, rgb, azimuth, elevation)
+
+
+class SyntheticShapes:
+    """Iterator[Batch] over procedurally generated multi-view renders.
+
+    Batch dict: image (B,V,H,W,3) f32, mask (B,V,H,W) f32,
+    azimuth/elevation (B,V) f32 — identical schema to ShapeNetViews."""
+
+    def __init__(self, cfg: Config, split: str = "train",
+                 num_models: int = 256, seed: int | None = None,
+                 render_chunk: int = 32):
+        self.cfg = cfg
+        seed = (cfg.seed if seed is None else seed) + hash(split) % 1000
+        rng = np.random.default_rng(seed)
+        clouds, colors = zip(*[_make_cloud(rng, _N_GT)
+                               for _ in range(num_models)])
+        self.gt_points = np.stack(clouds)                  # (M, N_GT, 3)
+        self.gt_rgb = np.stack(colors)
+        V = cfg.num_views
+        self.azimuth = rng.uniform(0, 2 * np.pi,
+                                   size=(num_models, V)).astype(np.float32)
+        self.elevation = rng.uniform(-0.35, 0.9,
+                                     size=(num_models, V)).astype(np.float32)
+        masks, images = [], []
+        for i in range(0, num_models, render_chunk):
+            sl = slice(i, i + render_chunk)
+            m, im = _render_views(cfg, jnp.asarray(self.gt_points[sl]),
+                                  jnp.asarray(self.gt_rgb[sl]),
+                                  jnp.asarray(self.azimuth[sl]),
+                                  jnp.asarray(self.elevation[sl]))
+            masks.append(np.asarray(m))
+            images.append(np.asarray(im))
+        self.masks = np.concatenate(masks)                 # (M,V,H,W)
+        self.images = np.concatenate(images)               # (M,V,H,W,3)
+        self._rng = np.random.default_rng(seed + 1)
+
+    def __len__(self):
+        return self.gt_points.shape[0]
+
+    def sample_batch(self, batch_size: int | None = None) -> Dict:
+        bs = batch_size or self.cfg.batch_size
+        idx = self._rng.integers(0, len(self), size=bs)
+        return self.get_batch(idx)
+
+    def get_batch(self, idx) -> Dict:
+        return {"image": self.images[idx], "mask": self.masks[idx],
+                "azimuth": self.azimuth[idx],
+                "elevation": self.elevation[idx]}
+
+    def batches(self, steps: int,
+                batch_size: int | None = None) -> Iterator[Dict]:
+        for _ in range(steps):
+            yield self.sample_batch(batch_size)
+
+    def __iter__(self):
+        while True:
+            yield self.sample_batch()

@@ -1,0 +1,71 @@
+"""Pose regressor + candidate ensemble head (SURVEY.md §2 "Pose regressor +
+candidate ensemble", §3.2).
+
+Emits K candidate quaternions plus one "student" quaternion from a shared
+trunk. The candidates parameterize the teacher (min-projection-loss
+selection happens in the model's loss, §3.2: all K are projected anyway, so
+selection is an argmin + take — no data-dependent control flow). The student
+is trained toward the selected candidate through a stop_gradient; at test
+time the student is the pose prediction. Optional translation head regresses
+a camera-distance offset."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpu_unsup_pc.ops.quaternion import quat_normalize
+
+
+class PosePrediction(NamedTuple):
+    candidates: jnp.ndarray        # (..., K, 4) unit quaternions
+    student: jnp.ndarray           # (..., 4) unit quaternion
+    trans_offset: Optional[jnp.ndarray]  # (..., K) distance offsets or None
+
+
+class PoseHead(nn.Module):
+    num_candidates: int = 4
+    hidden: int = 256
+    predict_translation: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latent: jnp.ndarray) -> PosePrediction:
+        batch_shape = latent.shape[:-1]
+        x = latent.reshape(-1, latent.shape[-1]).astype(self.dtype)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.leaky_relu(x, 0.2)
+        K = self.num_candidates
+        raw_c = nn.Dense(K * 4, dtype=self.dtype,
+                         name="candidates_head")(x).astype(jnp.float32)
+        # bias init spreads candidates: add fixed rotations so candidates
+        # don't collapse at init (symmetry breaking for the ensemble)
+        anchors = self.param(
+            "candidate_anchors",
+            lambda key, shape: _anchor_quats(K), (K, 4))
+        cand = quat_normalize(raw_c.reshape(-1, K, 4) + anchors[None])
+        raw_s = nn.Dense(4, dtype=self.dtype,
+                         name="student_head")(x).astype(jnp.float32)
+        student = quat_normalize(
+            raw_s + jnp.asarray([1.0, 0.0, 0.0, 0.0]))
+        trans = None
+        if self.predict_translation:
+            t = nn.Dense(K, dtype=self.dtype,
+                         name="translation_head")(x).astype(jnp.float32)
+            trans = (0.5 * jnp.tanh(t)).reshape(batch_shape + (K,))
+        return PosePrediction(
+            candidates=cand.reshape(batch_shape + (K, 4)),
+            student=student.reshape(batch_shape + (4,)),
+            trans_offset=trans)
+
+
+def _anchor_quats(k: int) -> jnp.ndarray:
+    """K fixed rotations about the up axis, evenly spread in azimuth —
+    initial diversity for the candidate ensemble."""
+    import numpy as np
+    angles = np.linspace(0.0, 2.0 * np.pi, k, endpoint=False)
+    q = np.stack([np.cos(angles / 2), np.zeros(k),
+                  np.sin(angles / 2), np.zeros(k)], axis=-1)
+    return jnp.asarray(q, jnp.float32)

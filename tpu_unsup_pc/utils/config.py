@@ -35,6 +35,10 @@ class Config:
     predict_rgb: bool = False      # per-point RGB (BASELINE config 5)
     predict_scale: bool = False    # learned global sigma scale (paper §3.1)
 
+    # ---- loss ----
+    source_views: int = 0          # clouds decoded from first k views (0=all)
+    rgb_loss_weight: float = 1.0   # weight of masked RGB appearance loss
+
     # ---- pose (SURVEY §2 "Pose regressor + candidate ensemble") ----
     predict_pose: bool = False     # False => ground-truth pose (configs 1,2,4,5)
     pose_candidates: int = 4       # K candidate quaternions
