@@ -1,0 +1,114 @@
+"""Headline benchmark (BASELINE.json:2): points*views/sec/chip for the
+differentiable projector, forward + backward (splat -> smooth -> project ->
+MSE -> grad w.r.t. points), at BASELINE config-1 shapes (64^3 grid, 2k
+points, batchxviews = 8x5).
+
+Baseline: the reference is unmeasurable (empty mount, SURVEY.md §0/§6), so
+per BASELINE.md the stand-in is the frozen torch-CPU oracle at identical
+shapes. vs_baseline = our_throughput / oracle_throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+B, V, N, D = 8, 5, 2000, 64
+SIGMA = 1.0
+ITERS = 20
+ORACLE_ITERS = 1
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    from tpu_unsup_pc.configs import presets
+    from tpu_unsup_pc.models.losses import _gt_cameras
+    from tpu_unsup_pc.ops.camera import Camera
+    from tpu_unsup_pc.ops.project import project_pointcloud
+
+    cfg = presets.get("c1_synth")
+    rng = np.random.default_rng(0)
+    points = jnp.asarray(rng.uniform(-0.4, 0.4, size=(B, N, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(size=(B, V, cfg.vox_size, cfg.vox_size))
+                        > 0.5, jnp.float32)
+    batch = {"azimuth": jnp.asarray(rng.uniform(0, 6.28, (B, V)),
+                                    jnp.float32),
+             "elevation": jnp.asarray(rng.uniform(-0.3, 0.9, (B, V)),
+                                      jnp.float32)}
+    cams = _gt_cameras(cfg, batch)
+
+    def loss_fn(pts):
+        def one(p, quat, dist):
+            cam = Camera(quat=quat, distance=dist,
+                         focal=jnp.asarray(cfg.focal_length))
+            return project_pointcloud(p, cam, SIGMA, cfg).silhouette
+        sils = jax.vmap(jax.vmap(one, in_axes=(None, 0, 0)),
+                        in_axes=(0, 0, 0))(pts, cams.quat, cams.distance)
+        return jnp.mean((sils - masks) ** 2)
+
+    step = jax.jit(jax.grad(loss_fn))
+    step(points).block_until_ready()          # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        g = step(points)
+    g.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+    n_chips = 1  # bench runs on the single real chip
+    return (B * V * N) / dt / n_chips
+
+
+def bench_oracle() -> float:
+    import torch
+    from oracle import torch_oracle as O
+
+    rng = np.random.default_rng(0)
+    points = torch.tensor(rng.uniform(-0.4, 0.4, size=(B, N, 3)),
+                          dtype=torch.float32, requires_grad=True)
+    masks = torch.tensor(
+        (rng.uniform(size=(B, V, D, D)) > 0.5).astype(np.float32))
+    azel = rng.uniform(0, 6.28, (B, V)), rng.uniform(-0.3, 0.9, (B, V))
+    quats = [[O.quat_from_azel(azel[0][b, v], azel[1][b, v],
+                               dtype=torch.float32)
+              for v in range(V)] for b in range(B)]
+
+    def run_once():
+        loss = 0.0
+        for b in range(B):
+            for v in range(V):
+                sil, _ = O.project_pointcloud(
+                    points[b], quats[b][v], 2.0, 1.875, D, 1.2,
+                    SIGMA, radius=5)
+                loss = loss + torch.mean((sil - masks[b, v]) ** 2)
+        (loss / (B * V)).backward()
+        points.grad = None
+
+    run_once()                                 # warm
+    t0 = time.perf_counter()
+    for _ in range(ORACLE_ITERS):
+        run_once()
+    dt = (time.perf_counter() - t0) / ORACLE_ITERS
+    return (B * V * N) / dt
+
+
+def main():
+    ours = bench_jax()
+    try:
+        base = bench_oracle()
+    except Exception:
+        base = float("nan")
+    vs = ours / base if base == base else None
+    print(json.dumps({
+        "metric": "projector_fwd_bwd_points_views_per_sec_per_chip",
+        "value": round(ours, 1),
+        "unit": "points*views/s/chip (64^3 grid, 2k pts, B8xV5)",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

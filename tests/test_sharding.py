@@ -1,0 +1,81 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4.5):
+sharded-vs-unsharded numerical equality and mesh mechanics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unsup_pc import training
+from tpu_unsup_pc.configs import presets
+from tpu_unsup_pc.parallel import (init_sharded_state, make_mesh,
+                                   make_sharded_train_step, shard_batch)
+
+CFG = presets.get("tiny").replace(batch_size=8, mesh_shape=(8,))
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _batch(cfg, rng, B=8):
+    V, H = cfg.num_views, cfg.image_size
+    return {
+        "image": rng.uniform(size=(B, V, H, H, 3)).astype(np.float32),
+        "mask": (rng.uniform(size=(B, V, H, H)) > 0.5).astype(np.float32),
+        "azimuth": rng.uniform(0, 6.28, size=(B, V)).astype(np.float32),
+        "elevation": rng.uniform(-0.3, 0.9, size=(B, V)).astype(np.float32),
+    }
+
+
+def test_mesh_shape():
+    mesh = make_mesh(CFG)
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("data",)
+
+
+def test_sharded_batch_placement(rng):
+    mesh = make_mesh(CFG)
+    sb = shard_batch(_batch(CFG, rng), mesh)
+    # each device holds exactly 1/8 of the leading axis
+    shard_shapes = {s.data.shape for s in sb["image"].addressable_shards}
+    assert shard_shapes == {(1, CFG.num_views, CFG.image_size,
+                             CFG.image_size, 3)}
+
+
+def test_sharded_step_matches_unsharded(rng):
+    mesh = make_mesh(CFG)
+    batch = _batch(CFG, rng)
+    # unsharded reference
+    state_a = training.init_state(CFG)
+    params_before = jax.tree_util.tree_map(np.asarray, state_a.params)
+    state_a, metrics_a = training.train_step(CFG, state_a, batch)
+    # sharded
+    state_b = init_sharded_state(CFG, mesh)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(params_before)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state_b.params)[0]))
+    step = make_sharded_train_step(CFG, mesh)
+    state_b, metrics_b = step(state_b, shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(metrics_a["loss"]),
+                               float(metrics_b["loss"]), rtol=2e-4)
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3)
+
+
+def test_sharded_multi_step_runs(rng):
+    mesh = make_mesh(CFG)
+    state = init_sharded_state(CFG, mesh)
+    step = make_sharded_train_step(CFG, mesh)
+    for _ in range(3):
+        state, metrics = step(state, shard_batch(_batch(CFG, rng), mesh))
+    assert int(state.step) == 3
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_mesh_too_large_raises():
+    with pytest.raises(ValueError):
+        make_mesh(CFG.replace(mesh_shape=(64,)))

@@ -1,0 +1,72 @@
+"""Sharded train step (SURVEY.md §2.2 "DP", §7.1 item 8): the same pure
+`loss_and_metrics` as the single-chip path, jitted with NamedSharding
+constraints — batch split over the 'data' axis, params/opt-state replicated.
+XLA's sharding propagation inserts the gradient all-reduce (psum over ICI);
+metrics come out replicated.
+
+Per-chip batch = global_batch / mesh_size, so the per-device program is
+identical to a small single-chip step — the parallel efficiency is pure
+DP with one all-reduce of ~param-size per step."""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+from jax.sharding import Mesh
+
+from tpu_unsup_pc import training
+from tpu_unsup_pc.parallel.mesh import batch_sharding, replicate
+from tpu_unsup_pc.utils.config import Config
+
+
+def init_sharded_state(cfg: Config, mesh: Mesh,
+                       rng=None) -> training.TrainState:
+    """Init params on host then replicate across the mesh."""
+    state = training.init_state(cfg, rng)
+    return jax.device_put(state, replicate(mesh))
+
+
+def make_sharded_train_step(cfg: Config, mesh: Mesh):
+    """Build the jitted sharded step: (state, batch) -> (state', metrics).
+
+    Shardings are declared on inputs/outputs only; everything inside is a
+    plain single-program computation and the partitioner does the rest —
+    the idiomatic jit/pjit formulation (no hand-rolled pmap/psum)."""
+    repl = replicate(mesh)
+    bsh = batch_sharding(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, {"image": bsh, "mask": bsh,
+                             "azimuth": bsh, "elevation": bsh}),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,))
+    def step(state, batch) -> Tuple[training.TrainState, dict]:
+        (loss, metrics), grads = jax.value_and_grad(
+            training.loss_and_metrics, argnums=1, has_aux=True)(
+                cfg, state.params, batch, state.step)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, metrics
+
+    return step
+
+
+def make_sharded_eval_step(cfg: Config, mesh: Mesh):
+    repl = replicate(mesh)
+    bsh = batch_sharding(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, {"image": bsh, "mask": bsh,
+                             "azimuth": bsh, "elevation": bsh}),
+        out_shardings=repl)
+    def step(state, batch) -> dict:
+        import jax.numpy as jnp
+        _, metrics = training.loss_and_metrics(
+            cfg, state.params, batch,
+            jnp.asarray(10 ** 9, jnp.int32))  # past anneal end: sigma_end
+        return metrics
+
+    return step

@@ -1,0 +1,65 @@
+"""Checkpoint / resume (SURVEY.md §5): Orbax checkpointing of the full train
+state. `state.step` is saved with the params/opt-state, so the sigma-anneal
+position restores for free — the one stateful subtlety the reference's
+save/load had to handle too. Async save keeps the device busy while the
+host writes."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from tpu_unsup_pc import training
+from tpu_unsup_pc.utils.config import Config
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True,
+            enable_async_checkpointing=True))
+
+
+class CheckpointManager:
+    """Thin wrapper: save(state), restore_latest(cfg) -> (state, step)."""
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 3):
+        self.ckpt_dir = ckpt_dir
+        self._mgr = _manager(ckpt_dir, max_to_keep)
+
+    def save(self, state: training.TrainState, cfg: Config | None = None,
+             force: bool = False) -> None:
+        step = int(state.step)
+        composite = {"state": ocp.args.StandardSave(state)}
+        if cfg is not None:
+            composite["config"] = ocp.args.JsonSave(cfg.to_json())
+        self._mgr.save(step, args=ocp.args.Composite(**composite),
+                       force=force)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore_latest(self, cfg: Config,
+                       ) -> Tuple[Optional[training.TrainState],
+                                  Optional[int]]:
+        """Restore onto a freshly-initialized state template (shapes/dtypes
+        from cfg). Returns (None, None) when no checkpoint exists —
+        resume-by-default semantics for the train loop."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None, None
+        template = jax.eval_shape(lambda: training.init_state(cfg))
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template)))
+        return restored["state"], step
+
+    def close(self):
+        self._mgr.close()
