@@ -1,0 +1,60 @@
+"""Run-script tests (SURVEY.md L5): train -> resume -> predict ->
+eval_chamfer round trip on the tiny synthetic preset, exercising the real
+CLI entry points in-process."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpu_unsup_pc import eval_chamfer, predict, train
+
+
+@pytest.mark.slow
+def test_train_predict_eval_pipeline(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    logs = str(tmp_path / "logs")
+
+    # train 30 steps
+    train.main(["--preset", "tiny", "--steps", "30", "--ckpt-dir", ckpt,
+                "--log-dir", logs, "--num-models", "8"])
+    assert os.path.exists(os.path.join(logs, "metrics.jsonl"))
+    with open(os.path.join(logs, "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert recs[-1]["step"] == 30
+    assert np.isfinite(recs[-1]["loss"])
+    assert recs[-1]["points_views_per_sec_per_chip"] > 0
+
+    # resume for 10 more steps (restores step + anneal position)
+    train.main(["--preset", "tiny", "--steps", "40", "--ckpt-dir", ckpt,
+                "--log-dir", logs, "--num-models", "8"])
+    with open(os.path.join(logs, "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert recs[-1]["step"] == 40
+
+    # predict + eval
+    out = str(tmp_path / "preds.npz")
+    predict.main(["--preset", "tiny", "--ckpt-dir", ckpt, "--out", out,
+                  "--num-models", "6"])
+    with np.load(out) as z:
+        assert z["pred_points"].shape[1:] == (256, 3)
+        assert "gt_points" in z
+    stats = eval_chamfer.main(["--pred", out])
+    assert np.isfinite(stats["chamfer_l1_mean"])
+    assert stats["num_models"] == 6
+
+
+def test_eval_alignment_recovers_rotation(rng):
+    """A rotated copy of a cloud must align back to ~zero chamfer."""
+    from tpu_unsup_pc.eval_chamfer import evaluate
+    from tpu_unsup_pc.ops.quaternion import quat_from_euler, quat_rotate
+    import jax.numpy as jnp
+
+    gt = rng.uniform(-0.4, 0.4, size=(300, 3)).astype(np.float32)
+    q = quat_from_euler(1.18, 0.0)  # near a grid point of the search
+    pred = np.asarray(quat_rotate(q, jnp.asarray(gt)))
+    unaligned = evaluate(pred[None], gt[None], align=False)
+    aligned = evaluate(pred[None], gt[None], align=True)
+    assert aligned["chamfer_l1_mean"] < 0.3 * unaligned["chamfer_l1_mean"]

@@ -49,7 +49,8 @@ _PRESETS["tiny"] = Config(
     dataset="synthetic", image_size=32, vox_size=32, pc_num_points=256,
     latent_dim=128, enc_channels=(8, 16, 32), fc_dims=(128,),
     num_views=3, batch_size=2, sigma_start=2.0, sigma_end=0.8,
-    sigma_anneal_steps=100, point_chunk=64, learning_rate=3e-4)
+    sigma_anneal_steps=100, point_chunk=64, learning_rate=3e-4,
+    log_every=10, ckpt_every=100)
 
 
 def get(name: str) -> Config:

@@ -1,0 +1,88 @@
+"""Chamfer evaluation (SURVEY.md §3.3, L5): Chamfer-L1 between predicted and
+GT clouds — the parity metric [BASELINE.json:2] — with the optional global
+rotation alignment the unknown-pose setting needs (the canonical frame a
+pose-free model learns is arbitrary up to a rotation; the reference aligns
+before scoring [SURVEY §2 "Prediction / eval"]).
+
+    python -m tpu_unsup_pc.eval_chamfer --pred preds.npz [--align]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unsup_pc.ops.chamfer import chamfer_l1
+from tpu_unsup_pc.ops.quaternion import quat_from_euler, quat_rotate
+
+
+@functools.partial(jax.jit, static_argnames=("n_az", "n_el"))
+def _align_rotation(pred, gt, n_az: int = 32, n_el: int = 5):
+    """Coarse grid search over global rotations (azimuth x elevation) that
+    minimizes chamfer of a subsampled cloud; returns the best-rotated pred.
+    vmapped over the candidate grid — one batched computation, no loops."""
+    az = jnp.linspace(0, 2 * jnp.pi, n_az, endpoint=False)
+    el = jnp.linspace(-0.6, 0.6, n_el)
+    azg, elg = jnp.meshgrid(az, el, indexing="ij")
+    quats = quat_from_euler(azg.ravel(), elg.ravel())      # (R, 4)
+    sub_p = pred[:: max(1, pred.shape[0] // 512)]
+    sub_g = gt[:: max(1, gt.shape[0] // 512)]
+
+    def score(q):
+        return chamfer_l1(quat_rotate(q, sub_p), sub_g, chunk=128)
+
+    scores = jax.vmap(score)(quats)
+    best = quats[jnp.argmin(scores)]
+    return quat_rotate(best, pred)
+
+
+def evaluate(pred_points: np.ndarray, gt_points: np.ndarray,
+             align: bool = False) -> dict:
+    """(M, N, 3) preds vs (M, G, 3) GT -> chamfer stats."""
+    ds = []
+    for p, g in zip(pred_points, gt_points):
+        p_j, g_j = jnp.asarray(p), jnp.asarray(g)
+        if align:
+            p_j = _align_rotation(p_j, g_j)
+        ds.append(float(chamfer_l1(p_j, g_j)))
+    ds = np.asarray(ds)
+    return {"chamfer_l1_mean": float(ds.mean()),
+            "chamfer_l1_median": float(np.median(ds)),
+            "chamfer_l1_std": float(ds.std()),
+            "num_models": int(len(ds)),
+            "aligned": bool(align)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pred", default="preds.npz")
+    p.add_argument("--gt", default=None,
+                   help="npz with gt_points; defaults to --pred's own")
+    p.add_argument("--align", action="store_true",
+                   help="global rotation alignment (unknown-pose eval)")
+    p.add_argument("--out", default=None, help="write stats JSON here")
+    args = p.parse_args(argv)
+
+    with np.load(args.pred) as z:
+        pred = z["pred_points"]
+        gt = z["gt_points"] if args.gt is None else None
+    if gt is None and args.gt is not None:
+        with np.load(args.gt) as z:
+            gt = z["gt_points"]
+    stats = evaluate(pred, gt, align=args.align)
+    line = json.dumps(stats)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return stats
+
+
+if __name__ == "__main__":
+    main()

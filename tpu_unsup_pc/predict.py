@@ -1,0 +1,73 @@
+"""Prediction dump (SURVEY.md §3.3, L5): run the trained model over an eval
+set and save predicted point clouds (+ pose, + rgb) to npz for
+eval_chamfer.
+
+    python -m tpu_unsup_pc.predict --preset c1_synth --ckpt-dir checkpoints \
+        --out preds.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpu_unsup_pc import training
+from tpu_unsup_pc.configs import presets
+from tpu_unsup_pc.data import make_dataset
+from tpu_unsup_pc.utils.checkpoint import CheckpointManager
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="c1_synth", choices=presets.names())
+    p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--out", default="preds.npz")
+    p.add_argument("--num-models", type=int, default=64)
+    p.add_argument("--split", default="test")
+    p.add_argument("--batch-size", type=int, default=16)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = presets.get(args.preset)
+    ds_kwargs = {"num_models": args.num_models} \
+        if cfg.dataset == "synthetic" else {}
+    dataset = make_dataset(cfg, split=args.split, **ds_kwargs)
+
+    ckpt = CheckpointManager(cfg.ckpt_dir if args.ckpt_dir is None
+                             else args.ckpt_dir)
+    state, step = ckpt.restore_latest(cfg)
+    if state is None:
+        raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
+    print(f"predicting with step-{step} checkpoint")
+
+    n = min(args.num_models, len(dataset))
+    preds, poses, rgbs = [], [], []
+    for i in range(0, n, args.batch_size):
+        idx = np.arange(i, min(i + args.batch_size, n))
+        batch = dataset.get_batch(idx)
+        out = training.predict_step(cfg, state,
+                                    jnp.asarray(batch["image"][:, 0]))
+        preds.append(np.asarray(out.cloud.points))
+        if out.cloud.rgb is not None:
+            rgbs.append(np.asarray(out.cloud.rgb))
+        if out.pose is not None:
+            poses.append(np.asarray(out.pose.student))
+    arrays = {"pred_points": np.concatenate(preds)}
+    if rgbs:
+        arrays["pred_rgb"] = np.concatenate(rgbs)
+    if poses:
+        arrays["pred_pose"] = np.concatenate(poses)
+    if hasattr(dataset, "gt_points"):
+        arrays["gt_points"] = dataset.gt_points[:n]
+    np.savez_compressed(args.out, **arrays)
+    print(f"wrote {args.out}: " +
+          ", ".join(f"{k} {v.shape}" for k, v in arrays.items()))
+
+
+if __name__ == "__main__":
+    main()

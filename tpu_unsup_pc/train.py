@@ -1,0 +1,143 @@
+"""Training entry point (SURVEY.md §2 "Train loop", §3.1; L5).
+
+    python -m tpu_unsup_pc.train --preset c1_synth --steps 2000
+    python -m tpu_unsup_pc.train --preset c5_rgb_sharded --mesh 8
+
+One jitted (optionally mesh-sharded) train step; host work is only batch
+prefetch, metric logging, and async checkpointing. Resume-by-default from
+--ckpt-dir (SURVEY §5)."""
+
+from __future__ import annotations
+
+import argparse
+import math
+
+import numpy as np
+
+import jax
+
+from tpu_unsup_pc import training
+from tpu_unsup_pc.configs import presets
+from tpu_unsup_pc.data import make_dataset
+from tpu_unsup_pc.parallel import (make_mesh, make_sharded_train_step,
+                                   shard_batch)
+from tpu_unsup_pc.parallel.mesh import maybe_init_distributed, replicate
+from tpu_unsup_pc.utils.checkpoint import CheckpointManager
+from tpu_unsup_pc.utils.metrics import (MetricsLogger, ThroughputMeter,
+                                        maybe_profile)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="c1_synth", choices=presets.names())
+    p.add_argument("--steps", type=int, default=None,
+                   help="override cfg.max_steps")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--log-dir", default="logs")
+    p.add_argument("--mesh", type=int, default=None,
+                   help="data-parallel mesh size (devices)")
+    p.add_argument("--num-models", type=int, default=256,
+                   help="synthetic dataset size")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--trace-dir", default=None,
+                   help="jax.profiler trace output dir")
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="fused Pallas splat kernel")
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    cfg = presets.get(args.preset)
+    over = {}
+    if args.steps is not None:
+        over["max_steps"] = args.steps
+    if args.batch_size is not None:
+        over["batch_size"] = args.batch_size
+    if args.data_dir is not None:
+        over["data_dir"] = args.data_dir
+    if args.ckpt_dir is not None:
+        over["ckpt_dir"] = args.ckpt_dir
+    if args.mesh is not None:
+        over["mesh_shape"] = (args.mesh,)
+    if args.use_pallas:
+        over["use_pallas"] = True
+    return cfg.replace(**over).validate()
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    maybe_init_distributed()
+    cfg = build_config(args)
+    n_mesh = int(math.prod(cfg.mesh_shape))
+    assert cfg.batch_size % n_mesh == 0, (cfg.batch_size, n_mesh)
+
+    ds_kwargs = {"num_models": args.num_models} \
+        if cfg.dataset == "synthetic" else {}
+    dataset = make_dataset(cfg, **ds_kwargs)
+
+    ckpt = CheckpointManager(cfg.ckpt_dir)
+    logger = MetricsLogger(args.log_dir, use_tensorboard=args.tensorboard)
+
+    state, start = (None, None)
+    if not args.no_resume:
+        state, start = ckpt.restore_latest(cfg)
+    if state is None:
+        state, start = training.init_state(cfg), 0
+        print(f"initialized fresh state ({_param_count(state):,} params)")
+    else:
+        print(f"resumed from step {start}")
+
+    mesh = None
+    if n_mesh > 1:
+        mesh = make_mesh(cfg)
+        state = jax.device_put(state, replicate(mesh))
+        step_fn = make_sharded_train_step(cfg, mesh)
+        print(f"mesh: {mesh.devices.shape} over {mesh.axis_names}")
+    else:
+        def step_fn(state, batch):
+            return training.train_step(cfg, state, batch)
+
+    n_steps = cfg.max_steps - start
+    ppv = (cfg.batch_size * (cfg.source_views or cfg.num_views)
+           * cfg.num_views * cfg.pc_num_points)
+    meter = ThroughputMeter(ppv, n_chips=n_mesh)
+
+    with maybe_profile(args.trace_dir):
+        meter.start()
+        for i, batch in enumerate(dataset.batches(steps=n_steps)):
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            else:
+                batch = jax.device_put(batch)
+            state, metrics = step_fn(state, batch)
+            meter.step()
+            step = start + i + 1
+            if (step % cfg.log_every == 0 or step == start + 1
+                    or step == cfg.max_steps):
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["points_views_per_sec_per_chip"] = meter.rate(
+                    sync_on=metrics_sync(state))
+                logger.log(step, metrics)
+                meter.start()
+            if step % cfg.ckpt_every == 0 or step == cfg.max_steps:
+                ckpt.save(state, cfg)
+    ckpt.wait()
+    logger.close()
+    print("done")
+    return state
+
+
+def metrics_sync(state):
+    return jax.tree_util.tree_leaves(state.params)[0]
+
+
+def _param_count(state):
+    return sum(int(np.prod(p.shape))
+               for p in jax.tree_util.tree_leaves(state.params))
+
+
+if __name__ == "__main__":
+    main()
