@@ -23,15 +23,18 @@ ITERS = 20
 ORACLE_ITERS = 1
 
 
-def bench_jax() -> float:
+def bench_jax(use_pallas: bool = True) -> float:
+    """Time the projector fwd+bwd exactly as the train loop drives it: all
+    B*V pairs flattened through project_pointclouds_batched (Pallas fused
+    splat kernel when available)."""
     import jax
     import jax.numpy as jnp
     from tpu_unsup_pc.configs import presets
     from tpu_unsup_pc.models.losses import _gt_cameras
     from tpu_unsup_pc.ops.camera import Camera
-    from tpu_unsup_pc.ops.project import project_pointcloud
+    from tpu_unsup_pc.ops.project import project_pointclouds_batched
 
-    cfg = presets.get("c1_synth")
+    cfg = presets.get("c1_synth").replace(use_pallas=use_pallas)
     rng = np.random.default_rng(0)
     points = jnp.asarray(rng.uniform(-0.4, 0.4, size=(B, N, 3)), jnp.float32)
     masks = jnp.asarray(rng.uniform(size=(B, V, cfg.vox_size, cfg.vox_size))
@@ -43,13 +46,14 @@ def bench_jax() -> float:
     cams = _gt_cameras(cfg, batch)
 
     def loss_fn(pts):
-        def one(p, quat, dist):
-            cam = Camera(quat=quat, distance=dist,
-                         focal=jnp.asarray(cfg.focal_length))
-            return project_pointcloud(p, cam, SIGMA, cfg).silhouette
-        sils = jax.vmap(jax.vmap(one, in_axes=(None, 0, 0)),
-                        in_axes=(0, 0, 0))(pts, cams.quat, cams.distance)
-        return jnp.mean((sils - masks) ** 2)
+        pts_f = jnp.broadcast_to(pts[:, None], (B, V, N, 3)
+                                 ).reshape(B * V, N, 3)
+        cams_f = Camera(quat=cams.quat.reshape(B * V, 4),
+                        distance=cams.distance.reshape(B * V),
+                        focal=cams.focal.reshape(B * V))
+        sils = project_pointclouds_batched(pts_f, cams_f, SIGMA,
+                                           cfg).silhouette
+        return jnp.mean((sils.reshape(B, V, *sils.shape[-2:]) - masks) ** 2)
 
     step = jax.jit(jax.grad(loss_fn))
     step(points).block_until_ready()          # compile + warm
@@ -96,7 +100,10 @@ def bench_oracle() -> float:
 
 
 def main():
-    ours = bench_jax()
+    try:
+        ours = bench_jax(use_pallas=True)
+    except Exception:
+        ours = bench_jax(use_pallas=False)
     try:
         base = bench_oracle()
     except Exception:

@@ -1,0 +1,117 @@
+"""Pallas splat kernel tests (SURVEY.md §4.3, §5 "race detection"): the
+pure-JAX separable path is the kernel's fake backend — fwd/bwd equivalence
+on random and adversarial inputs (all points in one cell: the scatter-race
+case, race-free here by construction). Runs in interpreter mode on CPU;
+the same assertions run compiled on TPU via the verify drive."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unsup_pc.ops.pallas.splat_kernel import (pad_points,
+                                                  splat_gauss_pallas_batched)
+from tpu_unsup_pc.ops.splat import splat_gauss_separable
+
+D, N, P, CHUNK, RADIUS = 16, 96, 3, 32, 9
+
+
+def _ref(g, sigma):
+    return jnp.stack([
+        splat_gauss_separable(g[i], D, float(sigma[i]), radius=RADIUS,
+                              chunk=CHUNK, hat_correction=False)
+        for i in range(g.shape[0])])
+
+
+def test_forward_matches_separable(rng):
+    g = jnp.asarray(rng.uniform(-1, D, size=(P, N, 3)).astype(np.float32))
+    sigma = jnp.asarray([1.0, 1.7, 0.8], jnp.float32)
+    out = splat_gauss_pallas_batched(g, sigma, D, RADIUS, CHUNK)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(g, sigma)),
+                               atol=1e-5)
+
+
+def test_backward_matches_separable(rng):
+    g = jnp.asarray(rng.uniform(0, D, size=(P, N, 3)).astype(np.float32))
+    sigma = jnp.asarray([1.2, 0.9, 1.5], jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(P, D, D, D)).astype(np.float32))
+
+    gk = jax.grad(lambda x: jnp.sum(
+        splat_gauss_pallas_batched(x, sigma, D, RADIUS, CHUNK) * tgt))(g)
+    gr = jax.grad(lambda x: jnp.sum(_ref(x, sigma) * tgt))(g)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
+
+
+def test_adversarial_all_points_one_cell(rng):
+    """The scatter-race stress case: every point in the same cell. The
+    matmul formulation must accumulate exactly N-fold mass."""
+    g = jnp.full((1, N, 3), D / 2 - 0.5) + jnp.asarray(
+        rng.normal(size=(1, N, 3)).astype(np.float32)) * 1e-3
+    sigma = jnp.asarray([1.0], jnp.float32)
+    out = splat_gauss_pallas_batched(g, sigma, D, RADIUS, CHUNK)
+    np.testing.assert_allclose(float(out.sum()), N, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref(g, sigma)), atol=1e-4)
+
+
+def test_padding_is_mass_neutral(rng):
+    g = rng.uniform(5, D - 6, size=(1, 40, 3)).astype(np.float32)
+    padded = pad_points(jnp.asarray(g), CHUNK)
+    assert padded.shape[1] == 64
+    sigma = jnp.asarray([1.0], jnp.float32)
+    out = splat_gauss_pallas_batched(padded, sigma, D, RADIUS, CHUNK)
+    np.testing.assert_allclose(float(out.sum()), 40.0, rtol=1e-4)
+
+
+def test_per_pair_sigma(rng):
+    """Each batch element uses its own sigma (annealed + per-cloud scale)."""
+    g = jnp.asarray(rng.uniform(4, D - 5, size=(2, N, 3)).astype(np.float32))
+    sigma = jnp.asarray([0.6, 2.2], jnp.float32)
+    out = np.asarray(splat_gauss_pallas_batched(g, sigma, D, RADIUS, CHUNK))
+    # the wider-sigma grid has a strictly lower max (same mass, more spread)
+    assert out[1].max() < out[0].max()
+    # tight sigma: exact unit mass; wide sigma: bounded edge loss on D=16
+    np.testing.assert_allclose(out[0].sum(), N, rtol=1e-3)
+    assert 0.8 * N < out[1].sum() <= N * (1 + 1e-3)
+
+
+def test_batched_projector_matches_single(rng):
+    """project_pointclouds_batched == vmap(project_pointcloud) on the XLA
+    path (the loss's flattened-pair rendering is equivalence-tested)."""
+    from tpu_unsup_pc.configs import presets
+    from tpu_unsup_pc.ops.camera import make_camera
+    from tpu_unsup_pc.ops.project import (project_pointcloud,
+                                          project_pointclouds_batched)
+    cfg = presets.get("tiny").replace(vox_size=16, point_chunk=32)
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, size=(3, 64, 3))
+                      .astype(np.float32))
+    az = jnp.asarray([0.3, 1.5, -2.0], jnp.float32)
+    el = jnp.asarray([0.1, -0.2, 0.5], jnp.float32)
+    cams = make_camera(az, el, cfg.camera_distance, cfg.focal_length)
+    batched = project_pointclouds_batched(pts, cams, 1.1, cfg)
+    for i in range(3):
+        cam_i = make_camera(float(az[i]), float(el[i]), cfg.camera_distance,
+                            cfg.focal_length)
+        single = project_pointcloud(pts[i], cam_i, 1.1, cfg)
+        np.testing.assert_allclose(np.asarray(batched.silhouette[i]),
+                                   np.asarray(single.silhouette), atol=1e-5)
+
+
+def test_batched_projector_rgb(rng):
+    from tpu_unsup_pc.configs import presets
+    from tpu_unsup_pc.ops.camera import make_camera
+    from tpu_unsup_pc.ops.project import (project_pointcloud,
+                                          project_pointclouds_batched)
+    cfg = presets.get("tiny").replace(vox_size=16, point_chunk=32)
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, size=(2, 48, 3))
+                      .astype(np.float32))
+    rgb = jnp.asarray(rng.uniform(size=(2, 48, 3)).astype(np.float32))
+    az = jnp.asarray([0.3, 1.5], jnp.float32)
+    el = jnp.asarray([0.1, -0.2], jnp.float32)
+    cams = make_camera(az, el, cfg.camera_distance, cfg.focal_length)
+    batched = project_pointclouds_batched(pts, cams, 1.1, cfg, rgb=rgb)
+    cam0 = make_camera(0.3, 0.1, cfg.camera_distance, cfg.focal_length)
+    single = project_pointcloud(pts[0], cam0, 1.1, cfg, rgb=rgb[0])
+    np.testing.assert_allclose(np.asarray(batched.rgb_image[0]),
+                               np.asarray(single.rgb_image), atol=1e-5)

@@ -113,7 +113,10 @@ class SyntheticShapes:
                  num_models: int = 256, seed: int | None = None,
                  render_chunk: int = 32):
         self.cfg = cfg
-        seed = (cfg.seed if seed is None else seed) + hash(split) % 1000
+        # stable split hash (builtin hash() is per-process randomized)
+        import zlib
+        seed = ((cfg.seed if seed is None else seed)
+                + zlib.crc32(split.encode()) % 1000)
         rng = np.random.default_rng(seed)
         clouds, colors = zip(*[_make_cloud(rng, _N_GT)
                                for _ in range(num_models)])

@@ -3,14 +3,17 @@ stacks): multi-view silhouette-consistency MSE, optional masked RGB
 appearance loss, and the pose-candidate ensemble with student–teacher
 min-loss selection.
 
-Everything is expressed as nested vmaps over (batch, source view, target
-view[, candidate]) of the single-cloud projector — all candidates are
-projected (the argmin needs every loss anyway [SURVEY §3.2]), selection is
-`argmin` + `take_along_axis`, and the student loss uses `stop_gradient`, so
-the whole thing jits with no data-dependent control flow. The projector call
-is wrapped in `jax.checkpoint`: voxel grids are rematerialized in the
-backward pass instead of stored, trading MXU FLOPs (cheap) for HBM (the
-bottleneck at 128^3 x B x V^2)."""
+TPU-first structure: every (batch, source view, target view[, candidate])
+projection pair is FLATTENED into one leading axis and rendered by a single
+batched projector call (ops.project.project_pointclouds_batched) — one
+Pallas kernel launch / one fused XLA computation for the whole batch, no
+nested vmaps of small programs. All candidates are projected (the argmin
+needs every loss anyway [SURVEY §3.2]), selection is `argmin` +
+`take_along_axis`, and the student loss uses `stop_gradient`, so everything
+jits with no data-dependent control flow. The projector is wrapped in
+`jax.checkpoint`: voxel grids are rematerialized in the backward instead of
+stored, trading MXU FLOPs (cheap) for HBM (the bottleneck at
+128^3 x B x V^2)."""
 
 from __future__ import annotations
 
@@ -21,7 +24,7 @@ import jax.numpy as jnp
 
 from tpu_unsup_pc.models.model import ModelOutput
 from tpu_unsup_pc.ops.camera import Camera
-from tpu_unsup_pc.ops.project import project_pointcloud
+from tpu_unsup_pc.ops.project import project_pointclouds_batched
 from tpu_unsup_pc.ops.quaternion import quat_from_euler
 from tpu_unsup_pc.utils.config import Config
 
@@ -36,9 +39,25 @@ def _gt_cameras(cfg: Config, batch: dict) -> Camera:
         focal=jnp.full(shape, cfg.focal_length, jnp.float32))
 
 
-def _masked_rgb_mse(rgb_image, image, mask):
-    err = jnp.sum((rgb_image - image) ** 2, axis=-1) * mask
-    return jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
+def _render_pairs(cfg: Config, points, rgb, sigma, quats, dists):
+    """Render every pair: all inputs have a common flat leading axis P.
+    Returns (sils (P,H,W), rgb_imgs (P,H,W,3)|None), rematerialized in the
+    backward (jax.checkpoint)."""
+    cams = Camera(quat=quats, distance=dists,
+                  focal=jnp.full(dists.shape, cfg.focal_length, jnp.float32))
+
+    @jax.checkpoint
+    def render(points, rgb, sigma, cams):
+        out = project_pointclouds_batched(points, cams, sigma, cfg, rgb=rgb)
+        return out.silhouette, out.rgb_image
+
+    return render(points, rgb, sigma, cams)
+
+
+def _flat(x, lead):
+    """Broadcast x's leading axes to `lead` and flatten them into one."""
+    tail = x.shape[len(lead):]
+    return jnp.broadcast_to(x, tuple(lead) + tail).reshape((-1,) + tail)
 
 
 def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
@@ -52,40 +71,40 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
     """
     B, V = batch["mask"].shape[:2]
     S = cfg.source_views or V
+    N = cfg.pc_num_points
     points = output.cloud.points[:, :S]                     # (B,S,N,3)
     rgb = output.cloud.rgb[:, :S] if output.cloud.rgb is not None else None
     if output.cloud.scale is not None:
+        assert not cfg.use_pallas, (
+            "predict_scale routes sigma-gradients through the splat; the "
+            "Pallas kernel does not emit dsigma — use the XLA path")
         sigma_src = sigma * output.cloud.scale[:, :S]       # (B,S)
     else:
         sigma_src = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (B, S))
 
-    @jax.checkpoint
-    def proj(pts, rgb_pts, sig, quat, dist):
-        cam = Camera(quat=quat, distance=dist,
-                     focal=jnp.asarray(cfg.focal_length, jnp.float32))
-        out = project_pointcloud(pts, cam, sig, cfg, rgb=rgb_pts)
-        if out.rgb_image is None:
-            return out.silhouette, jnp.zeros(out.silhouette.shape + (3,))
-        return out.silhouette, out.rgb_image
-
     if not cfg.predict_pose:
         cams = _gt_cameras(cfg, batch)                      # fields (B,V)
-        # sils[b,s,t] = render(points[b,s], cam[b,t]):
-        per_tgt = jax.vmap(proj, in_axes=(None, None, None, 0, 0))
-        per_src = jax.vmap(per_tgt, in_axes=(0, 0, 0, None, None))
-        per_b = jax.vmap(per_src, in_axes=(0, 0 if rgb is not None else None,
-                                           0, 0, 0))
-        sils, rgb_imgs = per_b(points, rgb, sigma_src, cams.quat,
-                               cams.distance)               # (B,S,V,H,W)
-        mask_t = batch["mask"][:, None, :, :, :]            # (B,1,V,H,W)
+        shape = (B, S, V)
+        pts_f = _flat(points[:, :, None], shape)            # (BSV, N, 3)
+        rgb_f = _flat(rgb[:, :, None], shape) if rgb is not None else None
+        sig_f = _flat(sigma_src[:, :, None], shape)
+        quat_f = _flat(cams.quat[:, None], shape)
+        dist_f = _flat(cams.distance[:, None], shape)
+        sils, rgb_imgs = _render_pairs(cfg, pts_f, rgb_f, sig_f, quat_f,
+                                       dist_f)
+        H, W = sils.shape[-2:]
+        sils = sils.reshape(B, S, V, H, W)
+        mask_t = batch["mask"][:, None]                     # (B,1,V,H,W)
         loss_sil = jnp.mean((sils - mask_t) ** 2)
         metrics = {"loss_sil": loss_sil}
         total = loss_sil
         if rgb is not None:
-            img_t = jnp.broadcast_to(batch["image"][:, None],
-                                     rgb_imgs.shape)
+            rgb_imgs = rgb_imgs.reshape(B, S, V, H, W, 3)
+            img_t = batch["image"][:, None]                 # (B,1,V,H,W,3)
             mask_b = jnp.broadcast_to(mask_t, sils.shape)
-            loss_rgb = _masked_rgb_mse(rgb_imgs, img_t, mask_b)
+            err = jnp.sum((rgb_imgs - img_t) ** 2, axis=-1) * mask_b
+            loss_rgb = (jnp.sum(err)
+                        / jnp.maximum(jnp.sum(mask_b), 1.0))
             total = total + cfg.rgb_loss_weight * loss_rgb
             metrics["loss_rgb"] = loss_rgb
         metrics["loss"] = total
@@ -101,20 +120,21 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
     else:
         dist = jnp.full((B, V, K), cfg.camera_distance, jnp.float32)
 
-    # sils[b,s,t,k] = render(points[b,s], candidate k of target view t)
-    per_cand = jax.vmap(proj, in_axes=(None, None, None, 0, 0))
-    per_tgt = jax.vmap(per_cand, in_axes=(None, None, None, 0, 0))
-    per_src = jax.vmap(per_tgt, in_axes=(0, 0, 0, None, None))
-    per_b = jax.vmap(per_src, in_axes=(0, 0 if rgb is not None else None,
-                                       0, 0, 0))
-    sils, rgb_imgs = per_b(points, rgb, sigma_src, cand, dist)
-    # (B,S,V,K,H,W)
-    mask_t = batch["mask"][:, None, :, None, :, :]
+    shape = (B, S, V, K)
+    pts_f = _flat(points[:, :, None, None], shape)
+    rgb_f = _flat(rgb[:, :, None, None], shape) if rgb is not None else None
+    sig_f = _flat(sigma_src[:, :, None, None], shape)
+    quat_f = _flat(cand[:, None], shape)
+    dist_f = _flat(dist[:, None], shape)
+    sils, rgb_imgs = _render_pairs(cfg, pts_f, rgb_f, sig_f, quat_f, dist_f)
+    H, W = sils.shape[-2:]
+    sils = sils.reshape(B, S, V, K, H, W)
+    mask_t = batch["mask"][:, None, :, None]                 # (B,1,V,1,H,W)
     pair_losses = jnp.mean((sils - mask_t) ** 2, axis=(-2, -1))  # (B,S,V,K)
 
     if rgb is not None:
-        img_t = jnp.broadcast_to(batch["image"][:, None, :, None],
-                                 rgb_imgs.shape)
+        rgb_imgs = rgb_imgs.reshape(B, S, V, K, H, W, 3)
+        img_t = batch["image"][:, None, :, None]
         mask_b = jnp.broadcast_to(mask_t, sils.shape)
         err = jnp.sum((rgb_imgs - img_t) ** 2, axis=-1) * mask_b
         rgb_pair = (jnp.sum(err, axis=(-2, -1))

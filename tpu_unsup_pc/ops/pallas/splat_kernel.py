@@ -1,0 +1,278 @@
+"""Fused Pallas TPU kernel for batched separable-Gaussian splatting — the
+framework's native "CUDA extension" equivalent (SURVEY.md §2.1, §7.2 item 1:
+the performance thesis).
+
+Math (identical to ops.splat.splat_gauss_separable, which is the oracle for
+this kernel): for each batched cloud p and voxel (d, h, w),
+
+    vox[p, d, h, w] = sum_n Wd[n,d] * Wh[n,h] * Ww[n,w],
+    Wd[n,d] = exp(-(gz[n]-d)^2 / 2 sigma_p^2) / Zz[n]   (and Wh/Ww alike),
+
+with Z the discrete-infinite-grid normalizer evaluated over a static window
+(exact; makes interior points deposit unit mass). Out-of-grid points decay
+to zero weight — no bounds handling needed.
+
+Kernel strategy (one pallas_call for the whole batch — no vmap of kernels):
+  grid = (P pairs, N/chunk point-chunks); the (D*H, W) output block for pair
+  p stays resident in VMEM across all point-chunks (its index_map ignores
+  the chunk axis) and is zeroed at chunk 0. Per chunk the depth-x-row pair
+  weight is computed *directly in the flattened (chunk, D*H) layout* — cell
+  indices come from a broadcasted iota with j//H and j%H, so the two
+  Gaussian factors fuse into ONE exp per element and no reshape/transpose
+  of compute results is ever needed (lane dim stays 128-aligned). The MXU
+  then contracts (D*H, chunk) @ (chunk, W) into the resident accumulator.
+
+Backward mirrors the contraction (two matmuls + row reductions per chunk),
+computing dL/d(grid_coords) analytically — including the normalizer's
+dependence on the coordinate — and is registered as a custom VJP. Gradient
+w.r.t. sigma is NOT produced (only the predict_scale variant needs it;
+asserted at the call site).
+
+Per-pair sigma is a (P, 1) float32 operand in SMEM, so annealed and
+per-cloud-scaled sigmas both work under one compile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    """Run the kernel in interpreter mode off-TPU (CPU tests, SURVEY §4.3:
+    the pure-JAX separable path is the kernel's fake backend)."""
+    return jax.default_backend() != "tpu"
+
+
+# ------------------------------------------------------------ weight math
+def _log_norm(gc, inv2s2, radius):
+    """Discrete-infinite-grid normalizer Z and dlogZ/dg for (chunk,) coords.
+    Depends only on frac(g); evaluated over a static window (exact)."""
+    r = gc - jnp.floor(gc)
+    k = jax.lax.broadcasted_iota(
+        jnp.int32, (gc.shape[0], 2 * radius + 2), 1
+    ).astype(jnp.float32) - radius
+    e = jnp.exp(-((r[:, None] - k) ** 2) * inv2s2)
+    z = jnp.sum(e, axis=-1)
+    dz = jnp.sum(e * (-2.0 * inv2s2 * (r[:, None] - k)), axis=-1)
+    return z, dz / z
+
+
+def _pair_weight(gz, gy, inv2s2, D, H):
+    """(chunk,) z/y coords -> (chunk, D*H) fused unnormalized weight
+    exp(-((gz-d)^2 + (gy-h)^2) * inv2s2) with d = j//H, h = j%H, plus the
+    expanded per-axis squared distances (reused by the backward)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (gz.shape[0], D * H), 1)
+    jd = (j // H).astype(jnp.float32)
+    jh = (j % H).astype(jnp.float32)
+    dz = jd - gz[:, None]
+    dy = jh - gy[:, None]
+    p = jnp.exp(-(dz * dz + dy * dy) * inv2s2)
+    return p, dz, dy
+
+
+def _axis_weight(gc, inv2s2, D):
+    cells = jax.lax.broadcasted_iota(jnp.int32, (gc.shape[0], D), 1
+                                     ).astype(jnp.float32)
+    dist = cells - gc[:, None]
+    return jnp.exp(-(dist * dist) * inv2s2), dist
+
+
+# ---------------------------------------------------------------- forward
+def _fwd_kernel(sigma_ref, g_ref, out_ref, *, D, radius):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    sigma = sigma_ref[pl.program_id(0), 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    g = g_ref[0]                                   # (chunk, 3)
+    gz, gy, gx = g[:, 0], g[:, 1], g[:, 2]
+    p_raw, _, _ = _pair_weight(gz, gy, inv2s2, D, D)
+    zz, _ = _log_norm(gz, inv2s2, radius)
+    zy, _ = _log_norm(gy, inv2s2, radius)
+    zx, _ = _log_norm(gx, inv2s2, radius)
+    ww_raw, _ = _axis_weight(gx, inv2s2, D)
+    # fold all three normalizers into the W factor (one (chunk,D) multiply
+    # instead of a (chunk, D*H) one)
+    ww = ww_raw / (zz * zy * zx)[:, None]
+    out_ref[0] += jax.lax.dot_general(
+        p_raw, ww, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (D*H, W)
+
+
+def _run_fwd(g, sigma, D, radius, chunk):
+    P, N, _ = g.shape
+    n_chunks = N // chunk
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, D=D, radius=radius),
+        grid=(P, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, 3), lambda p, c: (p, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, D * D, D), lambda p, c: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, D * D, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * N * D * D * D,
+            bytes_accessed=P * (N * 12 + D * D * D * 4),
+            transcendentals=P * N * (D * D + D + 3 * (2 * radius + 2))),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), g)
+    return out.reshape(P, D, D, D)
+
+
+# ---------------------------------------------------------------- backward
+def _bwd_kernel(sigma_ref, g_ref, gout_ref, dg_ref, *, D, radius):
+    sigma = sigma_ref[pl.program_id(0), 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    inv_s2 = 2.0 * inv2s2
+    g = g_ref[0]                                   # (chunk, 3)
+    gz, gy, gx = g[:, 0], g[:, 1], g[:, 2]
+    gout = gout_ref[0]                             # (D*H, W)
+
+    p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, D)
+    zz, dlzz = _log_norm(gz, inv2s2, radius)
+    zy, dlzy = _log_norm(gy, inv2s2, radius)
+    zx, dlzx = _log_norm(gx, inv2s2, radius)
+    ww_raw, dxd = _axis_weight(gx, inv2s2, D)
+    inv_z = 1.0 / (zz * zy * zx)
+    ww = ww_raw * inv_z[:, None]
+
+    # dL/dWw[n,w] = sum_j P[n,j] gout[j,w]        : (chunk, W) matmul
+    d_ww = jax.lax.dot_general(p_raw, gout, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    # dL/dP[n,j] = sum_w gout[j,w] Ww[n,w]        : (chunk, D*H) matmul
+    d_p = jax.lax.dot_general(ww, gout, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    # chain rule (everything elementwise from here):
+    #   P_full = p_raw * ww (via the matmul); treat p_raw and ww factors.
+    #   d p_raw/dgz = p_raw * (dz * inv_s2)     [dz = jd - gz]
+    #   d log ww/dgz = -dlogZz  (normalizer moved into ww)
+    pd = d_p * p_raw                               # (chunk, D*H)
+    s_pd = jnp.sum(pd, axis=1)                     # = sum_j d_p * p_raw
+    dwsum = jnp.sum(d_ww * ww, axis=1)             # = dL/d(scale of ww row)
+    dgz = (jnp.sum(pd * dzd, axis=1) * inv_s2) - dlzz * dwsum
+    dgy = (jnp.sum(pd * dyd, axis=1) * inv_s2) - dlzy * dwsum
+    dgx = (jnp.sum(d_ww * ww * dxd, axis=1) * inv_s2) - dlzx * dwsum
+    # NOTE: s_pd == dwsum mathematically (both equal sum over cells of
+    # dL/dvox * vox contribution); either works in the -dlogZ terms.
+    del s_pd
+    dg_ref[0] = jnp.stack([dgz, dgy, dgx], axis=-1)
+
+
+def _run_bwd(g, sigma, gout, D, radius, chunk):
+    # The backward keeps ~5 live (chunk, D*H) f32 buffers in VMEM (pair
+    # weights, expanded distances, two cotangents) vs the forward's ~2, so
+    # it runs at a smaller chunk (largest divisor of the forward chunk that
+    # fits a ~12MB working-set budget; sublane dim only needs /8).
+    budget = (12 * 2 ** 20) // (5 * 4 * D * D)
+    bwd_chunk = 8
+    c = chunk
+    while c >= 8:
+        if chunk % c == 0 and c <= budget and c % 8 == 0:
+            bwd_chunk = c
+            break
+        c //= 2
+    chunk = bwd_chunk
+    P, N, _ = g.shape
+    n_chunks = N // chunk
+    dg = pl.pallas_call(
+        functools.partial(_bwd_kernel, D=D, radius=radius),
+        grid=(P, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, 3), lambda p, c: (p, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D * D, D), lambda p, c: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, 3), lambda p, c: (p, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, N, 3), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), g, gout.reshape(P, D * D, D))
+    return dg
+
+
+# ------------------------------------------------------------- public op
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def splat_gauss_pallas_batched(grid_coords: jnp.ndarray, sigma: jnp.ndarray,
+                               vox_size: int, radius: int = 13,
+                               chunk: int = 512) -> jnp.ndarray:
+    """Batched fused Gaussian splat on TPU.
+
+    Args:
+      grid_coords: (P, N, 3) fractional voxel indices (depth, row, col);
+        N must be a multiple of `chunk` (pad with pad_points).
+      sigma: (P,) per-pair footprint std in cells (already
+        variance-corrected by the caller when matching trilinear+blur).
+      vox_size / radius / chunk: static.
+
+    Returns (P, D, D, D) float32 occupancy. Differentiable w.r.t.
+    grid_coords (analytic Pallas backward); sigma receives a zero
+    cotangent — callers must not route scale-learning through the kernel.
+    """
+    return _run_fwd(grid_coords, sigma, vox_size, radius, chunk)
+
+
+def _vjp_fwd(grid_coords, sigma, vox_size, radius, chunk):
+    out = _run_fwd(grid_coords, sigma, vox_size, radius, chunk)
+    return out, (grid_coords, sigma)
+
+
+def _vjp_bwd(vox_size, radius, chunk, res, gout):
+    grid_coords, sigma = res
+    dg = _run_bwd(grid_coords, sigma, gout, vox_size, radius, chunk)
+    return dg, jnp.zeros_like(sigma)
+
+
+splat_gauss_pallas_batched.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def pad_points(g: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Pad the point axis to a chunk multiple with far-away points (their
+    Gaussian weights underflow to exactly 0 in every cell)."""
+    N = g.shape[-2]
+    pad = (-N) % chunk
+    if pad == 0:
+        return g
+    filler = jnp.full(g.shape[:-2] + (pad, 3), -1e6, g.dtype)
+    return jnp.concatenate([g, filler], axis=-2)
+
+
+def splat_gauss_pallas(grid_coords: jnp.ndarray, vox_size: int, sigma,
+                       rgb=None, radius: int = 13, chunk: int = 512,
+                       hat_correction: bool = True) -> dict:
+    """Single-cloud adapter matching ops.splat.pointcloud_to_voxels'
+    contract. RGB values currently fall back to the XLA separable path
+    (kernel value-splatting lands with the RGB-perf milestone)."""
+    from tpu_unsup_pc.ops.splat import splat_gauss_separable
+    sigma = jnp.asarray(sigma, jnp.float32)
+    if hat_correction:
+        sigma_k = jnp.sqrt(sigma ** 2 + 1.0 / 6.0)
+    else:
+        sigma_k = sigma
+    if rgb is not None:
+        vals = jnp.concatenate([jnp.ones_like(rgb[:, :1]), rgb], axis=-1)
+        grids = splat_gauss_separable(grid_coords, vox_size, sigma,
+                                      values=vals, radius=radius,
+                                      chunk=chunk)
+        return {"occupancy": grids[0], "rgb": grids[1:]}
+    g = pad_points(grid_coords[None], chunk)
+    occ = splat_gauss_pallas_batched(g, sigma_k.reshape(1), vox_size,
+                                     radius, chunk)[0]
+    return {"occupancy": occ}

@@ -20,11 +20,13 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from tpu_unsup_pc.ops.camera import Camera, world_to_grid
 from tpu_unsup_pc.ops.gauss import smoothen_voxels
 from tpu_unsup_pc.ops.splat import (pointcloud_to_voxels,
+                                    splat_gauss_separable, splat_trilinear,
                                     static_gauss_radius)
 from tpu_unsup_pc.utils.config import Config
 
@@ -100,4 +102,73 @@ def project_pointcloud(points: jnp.ndarray, cam: Camera, sigma,
         # mean color per cell (mass-weighted), then expected color along ray
         cell_color = rgb_grid / jnp.maximum(occ_unclipped, 1e-6)
         rgb_image = jnp.einsum("dhw,cdhw->hwc", w, cell_color)
+    return ProjectorOutput(silhouette=sil, voxels=occ, rgb_image=rgb_image)
+
+
+def project_pointclouds_batched(points: jnp.ndarray, cams: Camera, sigma,
+                                cfg: Config,
+                                rgb: jnp.ndarray | None = None,
+                                ) -> ProjectorOutput:
+    """Flat-batched projector: (P, N, 3) clouds through (P,)-batched cameras
+    in ONE computation — the hot-loop entry point the loss uses (losses
+    flatten their (batch, source, target[, candidate]) axes into P).
+
+    This is where the Pallas kernel plugs in: one pallas_call with a
+    (P, chunks) grid covers the whole batch — no vmap-of-kernels, the MXU
+    sees one long stream of chunk matmuls (SURVEY §7.2 item 1).
+
+    Returns ProjectorOutput with leading dim P. Same semantics as
+    vmap(project_pointcloud) (tested equivalent).
+    """
+    D = cfg.vox_size
+    radius = static_gauss_radius(max(cfg.sigma_start, cfg.sigma_end))
+    sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32),
+                             points.shape[:1])
+    g = world_to_grid(points, cams, D, cfg.depth_extent)       # (P, N, 3)
+
+    rgb_grid = None
+    if (cfg.use_pallas and rgb is None and cfg.splat_mode == "gauss"
+            and jax.default_backend() == "tpu"):
+        from tpu_unsup_pc.ops.pallas.splat_kernel import (
+            pad_points, splat_gauss_pallas_batched)
+        sigma_k = jnp.sqrt(sigma ** 2 + 1.0 / 6.0)   # hat-variance corr.
+        occ = splat_gauss_pallas_batched(pad_points(g, cfg.point_chunk),
+                                         sigma_k, D, radius,
+                                         cfg.point_chunk)
+        # keep XLA from fusing the custom-call output into the collapse
+        # window ops (works around a TransformWindow CHECK crash in the
+        # TPU fusion pass when the two get merged)
+        occ = jax.lax.optimization_barrier(occ)
+    elif cfg.splat_mode == "gauss":
+        if rgb is None:
+            occ = jax.vmap(
+                lambda gi, si: splat_gauss_separable(
+                    gi, D, si, radius=radius, chunk=cfg.point_chunk))(
+                        g, sigma)
+        else:
+            vals = jnp.concatenate([jnp.ones_like(rgb[..., :1]), rgb],
+                                   axis=-1)
+            grids = jax.vmap(
+                lambda gi, vi, si: splat_gauss_separable(
+                    gi, D, si, values=vi, radius=radius,
+                    chunk=cfg.point_chunk))(g, vals, sigma)
+            occ, rgb_grid = grids[:, 0], grids[:, 1:]
+    else:  # trilinear_blur parity path
+        occ = jax.vmap(lambda gi: splat_trilinear(gi, D))(g)
+        occ = jax.vmap(lambda o, s: smoothen_voxels(o, s, radius))(
+            occ, sigma)
+        if rgb is not None:
+            rgb_grid = jax.vmap(lambda gi, ri: splat_trilinear(gi, D, ri))(
+                g, rgb)
+            rgb_grid = jax.vmap(
+                lambda o, s: smoothen_voxels(o, s, radius))(rgb_grid, sigma)
+
+    occ_unclipped = occ
+    if cfg.clip_voxels:
+        occ = jnp.clip(occ, 0.0, 1.0)
+    sil, w = collapse_to_silhouette(occ, cfg.proj_mode)
+    rgb_image = None
+    if rgb_grid is not None:
+        cell_color = rgb_grid / jnp.maximum(occ_unclipped[:, None], 1e-6)
+        rgb_image = jnp.einsum("pdhw,pcdhw->phwc", w, cell_color)
     return ProjectorOutput(silhouette=sil, voxels=occ, rgb_image=rgb_image)
