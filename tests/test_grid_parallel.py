@@ -1,0 +1,63 @@
+"""Grid-parallel (point-axis-sharded) splatting tests on the virtual
+8-device mesh (SURVEY.md §2.2 SP / §4.5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unsup_pc.configs import presets
+from tpu_unsup_pc.ops.camera import make_camera
+from tpu_unsup_pc.ops.project import project_pointcloud
+from tpu_unsup_pc.parallel import make_mesh
+from tpu_unsup_pc.parallel.grid_parallel import make_grid_parallel_projector
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+CFG = presets.get("tiny").replace(mesh_shape=(8,), vox_size=16,
+                                  point_chunk=32)
+
+
+def test_grid_parallel_matches_single_device(rng):
+    mesh = make_mesh(CFG)
+    project = make_grid_parallel_projector(CFG, mesh)
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, size=(256, 3))
+                      .astype(np.float32))
+    cam = make_camera(0.9, 0.2, CFG.camera_distance, CFG.focal_length)
+    sil_p, occ_p = jax.jit(project)(pts, cam, 1.1)
+    ref = project_pointcloud(pts, cam, 1.1, CFG)
+    np.testing.assert_allclose(np.asarray(occ_p), np.asarray(ref.voxels),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sil_p),
+                               np.asarray(ref.silhouette), atol=1e-5)
+
+
+def test_grid_parallel_grads_match(rng):
+    mesh = make_mesh(CFG)
+    project = make_grid_parallel_projector(CFG, mesh)
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, size=(128, 3))
+                      .astype(np.float32))
+    cam = make_camera(0.4, 0.5, CFG.camera_distance, CFG.focal_length)
+
+    def loss_sharded(p):
+        sil, _ = project(p, cam, 1.0)
+        return jnp.mean(sil ** 2)
+
+    def loss_ref(p):
+        return jnp.mean(project_pointcloud(p, cam, 1.0, CFG)
+                        .silhouette ** 2)
+
+    ga = jax.jit(jax.grad(loss_sharded))(pts)
+    gb = jax.grad(loss_ref)(pts)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
+
+
+def test_indivisible_points_raise(rng):
+    mesh = make_mesh(CFG)
+    project = make_grid_parallel_projector(CFG, mesh)
+    pts = jnp.zeros((100, 3))  # 100 % 8 != 0
+    cam = make_camera(0.0, 0.0, CFG.camera_distance, CFG.focal_length)
+    with pytest.raises(AssertionError):
+        project(pts, cam, 1.0)

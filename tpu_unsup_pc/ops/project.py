@@ -43,6 +43,10 @@ def collapse_to_silhouette(vox: jnp.ndarray, proj_mode: str = "drc",
     (..., D, H, W) ray-termination weights for expected-color compositing).
     Depth axis is -3; index 0 is nearest the camera."""
     v = jnp.clip(vox, 0.0, 1.0 - eps)
+    # barrier: XLA's TPU fusion pass CHECK-crashes (TransformWindow "loop
+    # will not make progress") when the cumprod window op fuses with its
+    # producer at some grid shapes (e.g. 128^3); keep them separate.
+    v = jax.lax.optimization_barrier(v)
     if proj_mode == "max":
         sil = jnp.max(v, axis=-3)
         # one-hot-ish weights at the argmax for color compositing
@@ -135,10 +139,6 @@ def project_pointclouds_batched(points: jnp.ndarray, cams: Camera, sigma,
         occ = splat_gauss_pallas_batched(pad_points(g, cfg.point_chunk),
                                          sigma_k, D, radius,
                                          cfg.point_chunk)
-        # keep XLA from fusing the custom-call output into the collapse
-        # window ops (works around a TransformWindow CHECK crash in the
-        # TPU fusion pass when the two get merged)
-        occ = jax.lax.optimization_barrier(occ)
     elif cfg.splat_mode == "gauss":
         if rgb is None:
             occ = jax.vmap(

@@ -1,0 +1,79 @@
+"""Grid-parallel splatting (SURVEY.md §2.2 "SP", §5 "long-context
+analogue"): this framework's equivalent of sequence parallelism.
+
+The model has no sequence axis; its long axes are the point count (up to 8k)
+and the voxel grid (128^3). When a single projection's splat pressures
+per-chip memory — or when one giant cloud should use the whole slice — the
+POINT axis is sharded across the mesh: every chip splats its point shard
+into a full-resolution local partial grid, and one `psum` over ICI
+reduces the partials into the complete grid (splatting is a sum over
+points, so the reduction is exact). Expressed with `shard_map`; XLA emits
+the all-reduce as a ring over ICI.
+
+Cost model: per chip compute drops N -> N/n_chips; the collective moves one
+D^3 grid (e.g. 8MB at 128^3) per projection over ICI — worth it when
+N * D footprint work >> grid bytes, i.e. large clouds / few pairs."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map            # jax >= 0.7 canonical location
+except ImportError:                      # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from tpu_unsup_pc.ops.camera import Camera, world_to_grid
+from tpu_unsup_pc.ops.project import collapse_to_silhouette
+from tpu_unsup_pc.ops.splat import splat_gauss_separable, static_gauss_radius
+from tpu_unsup_pc.utils.config import Config
+
+
+def make_grid_parallel_projector(cfg: Config, mesh: Mesh,
+                                 axis: str = "data"):
+    """Build fn(points (N,3), cam: Camera, sigma) -> (silhouette (H,W),
+    voxels (D,D,D)) with the point axis sharded over `axis`.
+
+    N must be divisible by the axis size. The voxel grid and silhouette
+    come back replicated on every chip.
+    """
+    D = cfg.vox_size
+    radius = static_gauss_radius(max(cfg.sigma_start, cfg.sigma_end))
+    n_shards = mesh.shape[axis]
+
+    def local(points_shard, quat, dist, focal, sigma):
+        # points_shard: (N / n_shards, 3); camera + sigma replicated
+        cam = Camera(quat=quat, distance=dist, focal=focal)
+        g = world_to_grid(points_shard, cam, D, cfg.depth_extent)
+        partial = splat_gauss_separable(
+            g, D, sigma, radius=radius,
+            chunk=min(cfg.point_chunk, points_shard.shape[0]))
+        occ = jax.lax.psum(partial, axis)          # ring all-reduce on ICI
+        if cfg.clip_voxels:
+            occ = jnp.clip(occ, 0.0, 1.0)
+        sil, _ = collapse_to_silhouette(occ, cfg.proj_mode)
+        return sil, occ
+
+    # check_vma off: the scan carry inside the core splat op is created
+    # unvarying (it is a pure library fn, not shard_map-aware); the psum
+    # makes the outputs genuinely replicated regardless.
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    @functools.wraps(local)
+    def project(points, cam: Camera, sigma):
+        N = points.shape[0]
+        assert N % n_shards == 0, (N, n_shards)
+        return sharded(points,
+                       jnp.asarray(cam.quat, jnp.float32),
+                       jnp.asarray(cam.distance, jnp.float32),
+                       jnp.asarray(cam.focal, jnp.float32),
+                       jnp.asarray(sigma, jnp.float32))
+
+    return project
