@@ -30,9 +30,7 @@ def bench_jax(use_pallas: bool = True) -> float:
     import jax
     import jax.numpy as jnp
     from tpu_unsup_pc.configs import presets
-    from tpu_unsup_pc.models.losses import _gt_cameras
-    from tpu_unsup_pc.ops.camera import Camera
-    from tpu_unsup_pc.ops.project import project_pointclouds_batched
+    from tpu_unsup_pc.models.losses import _gt_cameras, _render_pairs
 
     cfg = presets.get("c1_synth").replace(use_pallas=use_pallas)
     rng = np.random.default_rng(0)
@@ -48,11 +46,10 @@ def bench_jax(use_pallas: bool = True) -> float:
     def loss_fn(pts):
         pts_f = jnp.broadcast_to(pts[:, None], (B, V, N, 3)
                                  ).reshape(B * V, N, 3)
-        cams_f = Camera(quat=cams.quat.reshape(B * V, 4),
-                        distance=cams.distance.reshape(B * V),
-                        focal=cams.focal.reshape(B * V))
-        sils = project_pointclouds_batched(pts_f, cams_f, SIGMA,
-                                           cfg).silhouette
+        sigma_f = jnp.full((B * V,), SIGMA, jnp.float32)
+        sils, _ = _render_pairs(cfg, pts_f, None, sigma_f,
+                                cams.quat.reshape(B * V, 4),
+                                cams.distance.reshape(B * V))
         return jnp.mean((sils.reshape(B, V, *sils.shape[-2:]) - masks) ** 2)
 
     step = jax.jit(jax.grad(loss_fn))

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 
 from tpu_unsup_pc.models.model import ModelOutput
 from tpu_unsup_pc.ops.camera import Camera
-from tpu_unsup_pc.ops.project import project_pointclouds_batched
+from tpu_unsup_pc.ops.project import (fused_render_available,
+                                      project_pointclouds_batched,
+                                      render_silhouettes_fused)
 from tpu_unsup_pc.ops.quaternion import quat_from_euler
 from tpu_unsup_pc.utils.config import Config
 
@@ -41,10 +43,17 @@ def _gt_cameras(cfg: Config, batch: dict) -> Camera:
 
 def _render_pairs(cfg: Config, points, rgb, sigma, quats, dists):
     """Render every pair: all inputs have a common flat leading axis P.
-    Returns (sils (P,H,W), rgb_imgs (P,H,W,3)|None), rematerialized in the
-    backward (jax.checkpoint)."""
+    Returns (sils (P,H,W), rgb_imgs (P,H,W,3)|None).
+
+    Fast path: the fully-fused Pallas render kernel (splat + DRC collapse
+    in VMEM; its custom VJP rematerializes internally, so no checkpoint).
+    Fallback: the batched grid projector under jax.checkpoint (grids are
+    rematerialized in the backward instead of stored)."""
     cams = Camera(quat=quats, distance=dists,
                   focal=jnp.full(dists.shape, cfg.focal_length, jnp.float32))
+
+    if fused_render_available(cfg, has_rgb=rgb is not None):
+        return render_silhouettes_fused(points, cams, sigma, cfg), None
 
     @jax.checkpoint
     def render(points, rgb, sigma, cams):

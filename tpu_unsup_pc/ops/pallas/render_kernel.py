@@ -1,0 +1,253 @@
+"""Fused splat->collapse Pallas kernel: point cloud -> DRC silhouette with
+the voxel grid living ONLY in VMEM (never materialized to HBM).
+
+Motivation (measured, see BENCH notes in git history): the splat itself is
+~2.4ms fwd+bwd for 40x2k points at 64^3 while the end-to-end projector step
+was ~12ms — the gap is mostly the HBM round-trips and the cumprod window
+ops of the out-of-kernel collapse. Fusing the collapse removes the grid's
+HBM traffic entirely (fwd: write P*D^3*4B, bwd: read it twice + cotangent
+traffic) and replaces XLA's associative-scan cumprod with a depth loop over
+VMEM-resident rows.
+
+Tiling: grid = (pairs, H-tiles). H (image rows) is the sublane axis of the
+(HT, W) silhouette block, so tiles only need /8 alignment — W stays full
+width (lane axis, 128-aligned). At 64^3 there is one tile; at 128^3 four
+32-row tiles keep the (D*HT, W) accumulator + (chunk, D*HT) temporaries
+inside the ~16MB VMEM. The row offset shifts gy by an integer, which leaves
+frac(gy) — and therefore the normalizer — exactly unchanged.
+
+Forward, per (pair, H-tile) grid step:
+  1. fori over point-chunks: accumulate the (D*HT, W) grid block in VMEM
+     scratch (same separable-matmul formulation as splat_kernel.py).
+  2. depth loop: T[h,w] *= 1 - clip(acc[d*HT:(d+1)*HT, w]); silhouette
+     block = 1 - T.
+
+Backward, per (pair, H-tile): recompute the grid block (free remateriali-
+zation — cheaper than storing it), form the collapse cotangent
+  dL/dv[d,h,w] = gsil[h,w] * T_total[h,w] / (1 - v[d,h,w]) * [v < 1-eps]
+in VMEM, then run the splat backward per chunk, accumulating dg across
+H-tiles (all gradient terms are linear over rows, so tile-wise
+accumulation is exact).
+
+Only proj_mode="drc" with clip_voxels=True is fused (the training default);
+other modes use the unfused kernels. Sigma gets a zero cotangent (same
+contract as splat_gauss_pallas_batched)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_unsup_pc.ops.pallas.splat_kernel import (_axis_weight, _interpret,
+                                                  _log_norm, _pair_weight)
+
+_EPS = 1e-6
+
+
+def _h_tile(D: int) -> int:
+    """H-tile size: whole image at 64^3 and below; 32-row tiles at 128^3
+    so the (D*HT, W) accumulator + cotangent + (chunk, D*HT) temporaries
+    fit VMEM."""
+    return D if D <= 64 else 32
+
+
+def _chunk_budget(D: int, HT: int, chunk: int, live: int,
+                  reserve: int) -> int:
+    """Largest power-of-two chunk whose `live` (chunk, D*HT) f32 buffers
+    fit in (16MB - reserve)."""
+    c = chunk
+    while c > 8 and live * c * D * HT * 4 > 14 * 2 ** 20 - reserve:
+        c //= 2
+    return max(c, 8)
+
+
+def _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk, h0):
+    """fori over point-chunks: acc_ref (D*HT, W) += splat of every chunk.
+    h0 = first image row of this tile."""
+    inv2s2 = 0.5 / (sigma * sigma)
+    n_chunks = g_ref.shape[1] // chunk
+
+    def body(c, _):
+        g = g_ref[0, pl.ds(c * chunk, chunk), :]
+        gz, gy, gx = g[:, 0], g[:, 1] - h0, g[:, 2]
+        p_raw, _, _ = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, _ = _log_norm(gz, inv2s2, radius)
+        zy, _ = _log_norm(gy, inv2s2, radius)
+        zx, _ = _log_norm(gx, inv2s2, radius)
+        ww_raw, _ = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+        acc_ref[...] += jax.lax.dot_general(
+            p_raw, ww, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _fwd_kernel(sigma_ref, g_ref, sil_ref, acc_ref, *, D, HT, radius,
+                chunk):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk,
+                (ht * HT).astype(jnp.float32))
+
+    def collapse(d, trans):
+        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    trans = jax.lax.fori_loop(0, D, collapse,
+                              jnp.ones((HT, D), jnp.float32))
+    sil_ref[0] = 1.0 - trans
+
+
+def _run_fwd(g, sigma, D, radius, chunk):
+    P, N, _ = g.shape
+    HT = _h_tile(D)
+    chunk = _chunk_budget(D, HT, chunk, live=2, reserve=D * HT * D * 4)
+    sil = pl.pallas_call(
+        functools.partial(_fwd_kernel, D=D, HT=HT, radius=radius,
+                          chunk=chunk),
+        grid=(P, D // HT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, D, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * N * D * D * D,
+            bytes_accessed=P * (N * 12 + D * D * 4),
+            transcendentals=P * N * (D * D + D)),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), g)
+    return sil
+
+
+def _bwd_kernel(sigma_ref, g_ref, gsil_ref, dg_ref, acc_ref, cot_ref, *,
+                D, HT, radius, chunk):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    inv_s2 = 2.0 * inv2s2
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+
+    # 1) recompute this H-tile's grid block
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk, h0)
+
+    # 2) collapse cotangent: dL/dv = gsil * T_total / (1 - v), masked at
+    #    the clip boundary; T_total from one depth loop.
+    def collapse(d, trans):
+        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    trans = jax.lax.fori_loop(0, D, collapse,
+                              jnp.ones((HT, D), jnp.float32))
+    gt = gsil_ref[0] * trans                             # (HT, W)
+
+    def fill_cot(d, _):
+        raw = acc_ref[pl.ds(d * HT, HT), :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        mask = (raw < 1.0 - _EPS).astype(jnp.float32)
+        cot_ref[pl.ds(d * HT, HT), :] = gt / (1.0 - v) * mask
+        return 0
+
+    jax.lax.fori_loop(0, D, fill_cot, 0)
+
+    # 3) splat backward per chunk against the in-VMEM cotangent
+    n_chunks = g_ref.shape[1] // chunk
+
+    def body(c, _):
+        g = g_ref[0, pl.ds(c * chunk, chunk), :]
+        gz, gy_full, gx = g[:, 0], g[:, 1], g[:, 2]
+        gy = gy_full - h0
+        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, dlzz = _log_norm(gz, inv2s2, radius)
+        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
+        zx, dlzx = _log_norm(gx, inv2s2, radius)
+        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+        gout = cot_ref[...]                              # (D*HT, W)
+        d_ww = jax.lax.dot_general(p_raw, gout, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        d_p = jax.lax.dot_general(ww, gout, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        pd = d_p * p_raw
+        dwsum = jnp.sum(d_ww * ww, axis=1)
+        dgz = (jnp.sum(pd * dzd, axis=1) * inv_s2) - dlzz * dwsum
+        dgy = (jnp.sum(pd * dyd, axis=1) * inv_s2) - dlzy * dwsum
+        dgx = (jnp.sum(d_ww * ww * dxd, axis=1) * inv_s2) - dlzx * dwsum
+        dg_ref[0, pl.ds(c * chunk, chunk), :] += jnp.stack(
+            [dgz, dgy, dgx], axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _run_bwd(g, sigma, gsil, D, radius, chunk):
+    P, N, _ = g.shape
+    HT = _h_tile(D)
+    chunk = _chunk_budget(D, HT, chunk, live=4,
+                          reserve=2 * D * HT * D * 4)
+    dg = pl.pallas_call(
+        functools.partial(_bwd_kernel, D=D, HT=HT, radius=radius,
+                          chunk=chunk),
+        grid=(P, D // HT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, N, 3), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32),
+                        pltpu.VMEM((D * HT, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), g, gsil)
+    return dg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def render_drc_pallas_batched(grid_coords: jnp.ndarray, sigma: jnp.ndarray,
+                              vox_size: int, radius: int = 13,
+                              chunk: int = 512) -> jnp.ndarray:
+    """Fused batched render: (P, N, 3) grid coords (+ (P,) sigmas) ->
+    (P, H, W) DRC silhouettes. The D^3 grid exists only in VMEM. N must be
+    a chunk multiple (use splat_kernel.pad_points). Differentiable w.r.t.
+    grid_coords; zero cotangent for sigma."""
+    return _run_fwd(grid_coords, sigma, vox_size, radius, chunk)
+
+
+def _vjp_fwd(grid_coords, sigma, vox_size, radius, chunk):
+    return _run_fwd(grid_coords, sigma, vox_size, radius, chunk), \
+        (grid_coords, sigma)
+
+
+def _vjp_bwd(vox_size, radius, chunk, res, gsil):
+    grid_coords, sigma = res
+    dg = _run_bwd(grid_coords, sigma, gsil, vox_size, radius, chunk)
+    return dg, jnp.zeros_like(sigma)
+
+
+render_drc_pallas_batched.defvjp(_vjp_fwd, _vjp_bwd)
