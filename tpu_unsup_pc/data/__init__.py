@@ -11,4 +11,10 @@ def make_dataset(cfg, split: str = "train", **kw):
         return SyntheticShapes(cfg, split=split, **kw)
     if cfg.dataset == "shapenet":
         return ShapeNetViews(cfg, split=split, **kw)
+    if cfg.dataset == "tub":  # native mmap loader (data/native_loader.py)
+        from tpu_unsup_pc.data.native_loader import TubDataset
+        import os
+        path = cfg.data_dir if cfg.data_dir.endswith(".tub") else \
+            os.path.join(cfg.data_dir, f"{split}.tub")
+        return TubDataset(cfg, path, split=split, **kw)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")

@@ -34,6 +34,9 @@ def parse_args(argv=None):
                    help="override cfg.max_steps")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--data-dir", default=None)
+    p.add_argument("--dataset", default=None,
+                   choices=("synthetic", "shapenet", "tub"),
+                   help="override cfg.dataset (tub = native mmap loader)")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--mesh", type=int, default=None,
@@ -58,6 +61,8 @@ def build_config(args):
         over["batch_size"] = args.batch_size
     if args.data_dir is not None:
         over["data_dir"] = args.data_dir
+    if args.dataset is not None:
+        over["dataset"] = args.dataset
     if args.ckpt_dir is not None:
         over["ckpt_dir"] = args.ckpt_dir
     if args.mesh is not None:
