@@ -1,0 +1,119 @@
+"""Fused render kernel tests (splat->DRC collapse in one kernel): fwd/bwd
+equivalence vs the composed XLA path, silhouette-only and RGB, including
+the H-tiled 128^3 configuration (interpret mode on CPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unsup_pc.configs import presets
+from tpu_unsup_pc.ops.camera import make_camera
+from tpu_unsup_pc.ops.pallas.render_kernel import (
+    render_drc_pallas_batched, render_drc_rgb_pallas_batched)
+from tpu_unsup_pc.ops.project import project_pointclouds_batched
+from tpu_unsup_pc.ops.splat import splat_gauss_separable
+
+D, N, P, CHUNK, RADIUS = 16, 96, 3, 32, 9
+
+
+def _ref_sil(g, sigma):
+    occ = jnp.stack([
+        splat_gauss_separable(g[i], D, sigma[i], radius=RADIUS,
+                              chunk=CHUNK, hat_correction=False)
+        for i in range(g.shape[0])])
+    v = jnp.clip(occ, 0, 1 - 1e-6)
+    return 1.0 - jnp.prod(1.0 - v, axis=1)
+
+
+def test_fused_sil_fwd_bwd(rng):
+    g = jnp.asarray(rng.uniform(-1, D, size=(P, N, 3)).astype(np.float32))
+    sigma = jnp.asarray([1.0, 1.6, 0.8], jnp.float32)
+    sil = render_drc_pallas_batched(g, sigma, D, RADIUS, CHUNK)
+    np.testing.assert_allclose(np.asarray(sil),
+                               np.asarray(_ref_sil(g, sigma)), atol=1e-5)
+    tgt = jnp.asarray(rng.normal(size=(P, D, D)).astype(np.float32))
+    gk = jax.grad(lambda x: jnp.sum(
+        render_drc_pallas_batched(x, sigma, D, RADIUS, CHUNK) * tgt))(g)
+    gr = jax.grad(lambda x: jnp.sum(_ref_sil(x, sigma) * tgt))(g)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
+
+
+def test_fused_sil_h_tiled(rng):
+    """D=128 exercises the multi-H-tile path (4 tiles of 32 rows)."""
+    Dg = 128
+    g = jnp.asarray(rng.uniform(20, Dg - 20, size=(1, 64, 3))
+                    .astype(np.float32))
+    sigma = jnp.asarray([1.5], jnp.float32)
+    sil = render_drc_pallas_batched(g, sigma, Dg, RADIUS, 32)
+    occ = splat_gauss_separable(g[0], Dg, 1.5, radius=RADIUS, chunk=32,
+                                hat_correction=False)
+    ref = 1.0 - jnp.prod(1.0 - jnp.clip(occ, 0, 1 - 1e-6), axis=0)
+    np.testing.assert_allclose(np.asarray(sil[0]), np.asarray(ref),
+                               atol=1e-5)
+
+
+def _ref_rgb(cfg, pts, rgb, cams, sigma):
+    out = project_pointclouds_batched(pts, cams, sigma, cfg, rgb=rgb)
+    return out.silhouette, out.rgb_image
+
+
+def test_fused_rgb_matches_projector(rng):
+    """Fused RGB kernel == the XLA batched projector (same normalization
+    and compositing semantics), through the world-space entry point."""
+    from tpu_unsup_pc.ops.project import render_silhouettes_fused
+    cfg = presets.get("tiny").replace(vox_size=16, point_chunk=32,
+                                      use_pallas=True)
+    pts = jnp.asarray(rng.uniform(-0.35, 0.35, size=(2, 60, 3))
+                      .astype(np.float32))
+    rgb = jnp.asarray(rng.uniform(size=(2, 60, 3)).astype(np.float32))
+    az = jnp.asarray([0.4, 2.2], jnp.float32)
+    el = jnp.asarray([0.2, -0.1], jnp.float32)
+    cams = make_camera(az, el, cfg.camera_distance, cfg.focal_length)
+    sigma = jnp.asarray([1.0, 1.3], jnp.float32)
+    # force the fused path even off-TPU (interpret mode)
+    sil_k, img_k = render_silhouettes_fused(pts, cams, sigma, cfg, rgb=rgb)
+    sil_r, img_r = _ref_rgb(cfg.replace(use_pallas=False), pts, rgb, cams,
+                            sigma)
+    np.testing.assert_allclose(np.asarray(sil_k), np.asarray(sil_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(img_k), np.asarray(img_r),
+                               atol=1e-4)
+
+
+def test_fused_rgb_grads(rng):
+    from tpu_unsup_pc.ops.pallas.splat_kernel import pad_points
+    g = jnp.asarray(rng.uniform(2, D - 3, size=(1, 64, 3))
+                    .astype(np.float32))
+    rgb = jnp.asarray(rng.uniform(size=(1, 64, 3)).astype(np.float32))
+    sigma = jnp.asarray([1.1], jnp.float32)
+    tgt_s = jnp.asarray(rng.normal(size=(1, D, D)).astype(np.float32))
+    tgt_i = jnp.asarray(rng.normal(size=(1, 3, D, D)).astype(np.float32))
+
+    def loss_k(gg, cc):
+        sil, img = render_drc_rgb_pallas_batched(gg, cc, sigma, D, RADIUS,
+                                                 CHUNK)
+        return jnp.sum(sil * tgt_s) + jnp.sum(img * tgt_i)
+
+    def loss_r(gg, cc):
+        occ = splat_gauss_separable(gg[0], D, sigma[0], radius=RADIUS,
+                                    chunk=CHUNK, hat_correction=False)
+        vals = jnp.concatenate([jnp.ones_like(cc[0][:, :1]), cc[0]],
+                               axis=-1)
+        grids = splat_gauss_separable(gg[0], D, sigma[0], values=vals,
+                                      radius=RADIUS, chunk=CHUNK,
+                                      hat_correction=False)
+        occ, col = grids[0], grids[1:]
+        v = jnp.clip(occ, 0, 1 - 1e-6)
+        trans = jnp.cumprod(1 - v, axis=0)
+        tb = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]])
+        w = v * tb
+        sil = 1 - trans[-1]
+        cell = col / jnp.maximum(occ, 1e-6)
+        img = jnp.einsum("dhw,cdhw->cdhw", w, cell).sum(1)
+        return jnp.sum(sil * tgt_s[0]) + jnp.sum(img * tgt_i[0])
+
+    gk, ck = jax.grad(loss_k, argnums=(0, 1))(g, rgb)
+    gr, cr = jax.grad(loss_r, argnums=(0, 1))(g, rgb)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ck), np.asarray(cr), atol=2e-4)

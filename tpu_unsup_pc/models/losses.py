@@ -53,7 +53,7 @@ def _render_pairs(cfg: Config, points, rgb, sigma, quats, dists):
                   focal=jnp.full(dists.shape, cfg.focal_length, jnp.float32))
 
     if fused_render_available(cfg, has_rgb=rgb is not None):
-        return render_silhouettes_fused(points, cams, sigma, cfg), None
+        return render_silhouettes_fused(points, cams, sigma, cfg, rgb=rgb)
 
     @jax.checkpoint
     def render(points, rgb, sigma, cams):

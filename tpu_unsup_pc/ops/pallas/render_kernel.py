@@ -56,11 +56,11 @@ def _h_tile(D: int) -> int:
 
 
 def _chunk_budget(D: int, HT: int, chunk: int, live: int,
-                  reserve: int) -> int:
+                  reserve: int, budget: int = 14 * 2 ** 20) -> int:
     """Largest power-of-two chunk whose `live` (chunk, D*HT) f32 buffers
-    fit in (16MB - reserve)."""
+    fit in (budget - reserve)."""
     c = chunk
-    while c > 8 and live * c * D * HT * 4 > 14 * 2 ** 20 - reserve:
+    while c > 8 and live * c * D * HT * 4 > budget - reserve:
         c //= 2
     return max(c, 8)
 
@@ -251,3 +251,286 @@ def _vjp_bwd(vox_size, radius, chunk, res, gsil):
 
 
 render_drc_pallas_batched.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ===================================================================
+# RGB variant: fused splat -> DRC expected-color compositing
+# (BASELINE config 5). Four channels (occupancy + r,g,b) accumulate in
+# four VMEM scratch grids; the collapse composites
+#   img_c = sum_d w_d * C_c[d]/max(O[d],eps),  w_d = v_d * prod_{d'<d}(1-v_d')
+# in one depth loop. The backward recomputes the grids, runs a reverse
+# depth sweep that overwrites the grid scratch with the (dO, dC) cotangents
+# in place (T_d stored forward in a fifth scratch), then the usual
+# separable splat backward — per chunk, 8 matmuls (4 channels x 2) produce
+# d(grid_coords) and d(rgb) (= the channel dwsums) exactly.
+# ===================================================================
+
+_ONORM_EPS = 1e-6
+
+
+def _h_tile_rgb(D: int) -> int:
+    """Smaller tiles than the silhouette-only kernel: the RGB variant keeps
+    5 grid-block scratch buffers + a wider live set in the channel loop."""
+    if D <= 32:
+        return D
+    return 32 if D <= 64 else 16
+
+
+def _accumulate_rgb(accs, g_ref, rgb_ref, sigma, D, HT, radius, chunk, h0):
+    """accs: tuple of 4 (D*HT, W) scratch refs (occ, r, g, b)."""
+    inv2s2 = 0.5 / (sigma * sigma)
+    n_chunks = g_ref.shape[1] // chunk
+
+    def body(c, _):
+        g = g_ref[0, pl.ds(c * chunk, chunk), :]
+        vals = rgb_ref[0, pl.ds(c * chunk, chunk), :]
+        gz, gy, gx = g[:, 0], g[:, 1] - h0, g[:, 2]
+        p_raw, _, _ = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, _ = _log_norm(gz, inv2s2, radius)
+        zy, _ = _log_norm(gy, inv2s2, radius)
+        zx, _ = _log_norm(gx, inv2s2, radius)
+        ww_raw, _ = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+        for k in range(4):
+            wk = ww if k == 0 else ww * vals[:, k - 1][:, None]
+            accs[k][...] += jax.lax.dot_general(
+                p_raw, wk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _rgb_fwd_kernel(sigma_ref, g_ref, rgb_ref, sil_ref, img_ref,
+                    occ_s, r_s, g_s, b_s, *, D, HT, radius, chunk):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    accs = (occ_s, r_s, g_s, b_s)
+    for a in accs:
+        a[...] = jnp.zeros_like(a)
+    _accumulate_rgb(accs, g_ref, rgb_ref, sigma, D, HT, radius, chunk,
+                    (ht * HT).astype(jnp.float32))
+
+    def body(d, carry):
+        trans, img = carry                       # (HT, W), (3, HT, W)
+        raw = occ_s[pl.ds(d * HT, HT), :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        w = v * trans
+        denom = jnp.maximum(raw, _ONORM_EPS)
+        img = img + jnp.stack([
+            w * r_s[pl.ds(d * HT, HT), :] / denom,
+            w * g_s[pl.ds(d * HT, HT), :] / denom,
+            w * b_s[pl.ds(d * HT, HT), :] / denom])
+        return trans * (1.0 - v), img
+
+    trans, img = jax.lax.fori_loop(
+        0, D, body, (jnp.ones((HT, D), jnp.float32),
+                     jnp.zeros((3, HT, D), jnp.float32)))
+    sil_ref[0] = 1.0 - trans
+    img_ref[0] = img
+
+
+def _run_rgb_fwd(g, rgb, sigma, D, radius, chunk):
+    P, N, _ = g.shape
+    HT = _h_tile_rgb(D)
+    chunk = _chunk_budget(D, HT, chunk, live=2,
+                          reserve=4 * D * HT * D * 4)
+    sil, img = pl.pallas_call(
+        functools.partial(_rgb_fwd_kernel, D=D, HT=HT, radius=radius,
+                          chunk=chunk),
+        grid=(P, D // HT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, HT, D), lambda p, h: (p, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((P, D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((P, 3, D, D), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
+                        for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), g, rgb)
+    return sil, img
+
+
+def _rgb_bwd_kernel(sigma_ref, g_ref, rgb_ref, gsil_ref, gimg_ref,
+                    dg_ref, drgb_ref, occ_s, r_s, g_s, b_s, t_s, *,
+                    D, HT, radius, chunk):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    inv_s2 = 2.0 * inv2s2
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        drgb_ref[...] = jnp.zeros_like(drgb_ref)
+
+    accs = (occ_s, r_s, g_s, b_s)
+    for a in accs:
+        a[...] = jnp.zeros_like(a)
+    _accumulate_rgb(accs, g_ref, rgb_ref, sigma, D, HT, radius, chunk, h0)
+
+    # forward sweep: store T_before(d) per depth
+    def fwd_sweep(d, trans):
+        t_s[pl.ds(d * HT, HT), :] = trans
+        v = jnp.clip(occ_s[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    t_final = jax.lax.fori_loop(0, D, fwd_sweep,
+                                jnp.ones((HT, D), jnp.float32))
+    del t_final
+    gsil = gsil_ref[0]
+    gimg = gimg_ref[0]                              # (3, HT, W)
+
+    # reverse sweep: overwrite occ_s/r_s/g_s/b_s rows with dO/dC in place
+    def rev_sweep(i, dT):
+        d = D - 1 - i
+        sl = pl.ds(d * HT, HT)
+        raw = occ_s[sl, :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        trans = t_s[sl, :]
+        w = v * trans
+        denom = jnp.maximum(raw, _ONORM_EPS)
+        inv_denom = 1.0 / denom
+        o_mask = (raw > _ONORM_EPS).astype(jnp.float32)
+        dw = jnp.zeros_like(w)
+        for k, ref in ((0, r_s), (1, g_s), (2, b_s)):
+            cc = ref[sl, :] * inv_denom
+            dw += gimg[k] * cc
+            ref[sl, :] = gimg[k] * w * inv_denom    # dC_k in place
+        dv = dw * trans - dT * trans                # dT_{d+1} via (1-v): -T_d
+        clip_mask = (raw < 1.0 - _EPS).astype(jnp.float32)
+        dO = dv * clip_mask - dw * w * inv_denom * o_mask
+        occ_s[sl, :] = dO                           # dO in place
+        dT_prev = dw * v + dT * (1.0 - v)
+        return dT_prev
+
+    jax.lax.fori_loop(0, D, rev_sweep, -gsil)
+
+    # splat backward against the in-place cotangents
+    n_chunks = g_ref.shape[1] // chunk
+
+    def body(c, _):
+        g = g_ref[0, pl.ds(c * chunk, chunk), :]
+        vals = rgb_ref[0, pl.ds(c * chunk, chunk), :]
+        gz, gy_full, gx = g[:, 0], g[:, 1], g[:, 2]
+        gy = gy_full - h0
+        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, dlzz = _log_norm(gz, inv2s2, radius)
+        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
+        zx, dlzx = _log_norm(gx, inv2s2, radius)
+        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+
+        pd = jnp.zeros((chunk, p_raw.shape[1]), jnp.float32)
+        dwsum = jnp.zeros((chunk,), jnp.float32)
+        dx_term = jnp.zeros((chunk,), jnp.float32)
+        dvals = []
+        for k, ref in ((0, occ_s), (1, r_s), (2, g_s), (3, b_s)):
+            cot = ref[...]
+            val = jnp.ones((chunk,), jnp.float32) if k == 0 \
+                else vals[:, k - 1]
+            d_ww = jax.lax.dot_general(p_raw, cot, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            d_p = jax.lax.dot_general(ww, cot, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dws_k = jnp.sum(d_ww * ww, axis=1)       # = dval for k>0
+            pd += val[:, None] * (d_p * p_raw)
+            dwsum += val * dws_k
+            dx_term += val * jnp.sum(d_ww * ww * dxd, axis=1)
+            if k > 0:
+                dvals.append(dws_k)
+        dgz = (jnp.sum(pd * dzd, axis=1) * inv_s2) - dlzz * dwsum
+        dgy = (jnp.sum(pd * dyd, axis=1) * inv_s2) - dlzy * dwsum
+        dgx = (dx_term * inv_s2) - dlzx * dwsum
+        dg_ref[0, pl.ds(c * chunk, chunk), :] += jnp.stack(
+            [dgz, dgy, dgx], axis=-1)
+        drgb_ref[0, pl.ds(c * chunk, chunk), :] += jnp.stack(dvals, axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _run_rgb_bwd(g, rgb, sigma, gsil, gimg, D, radius, chunk):
+    P, N, _ = g.shape
+    HT = _h_tile_rgb(D)
+    # the unrolled 4-channel loop keeps many (chunk, D*HT) buffers live
+    # (p_raw, dzd, dyd, pd, per-channel d_p/d_ww temporaries — Mosaic's
+    # liveness is conservative here; measured ~19MB at a live=10 model).
+    # This kernel raises vmem_limit_bytes to 64MB, so budget against that.
+    chunk = _chunk_budget(D, HT, chunk, live=20,
+                          reserve=5 * D * HT * D * 4,
+                          budget=56 * 2 ** 20)
+    dg, drgb = pl.pallas_call(
+        functools.partial(_rgb_bwd_kernel, D=D, HT=HT, radius=radius,
+                          chunk=chunk),
+        grid=(P, D // HT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, HT, D), lambda p, h: (p, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((P, N, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((P, N, 3), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
+                        for _ in range(5)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), g, rgb, gsil, gimg)
+    return dg, drgb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def render_drc_rgb_pallas_batched(grid_coords: jnp.ndarray,
+                                  rgb: jnp.ndarray, sigma: jnp.ndarray,
+                                  vox_size: int, radius: int = 13,
+                                  chunk: int = 512):
+    """Fused batched RGB render: (P,N,3) coords + (P,N,3) colors ->
+    (sil (P,H,W), img (P,3,H,W)). Differentiable w.r.t. coords and colors;
+    zero cotangent for sigma. N must be a chunk multiple (pad coords with
+    pad_points and rgb with zeros)."""
+    return _run_rgb_fwd(grid_coords, rgb, sigma, vox_size, radius, chunk)
+
+
+def _rgb_vjp_fwd(grid_coords, rgb, sigma, vox_size, radius, chunk):
+    out = _run_rgb_fwd(grid_coords, rgb, sigma, vox_size, radius, chunk)
+    return out, (grid_coords, rgb, sigma)
+
+
+def _rgb_vjp_bwd(vox_size, radius, chunk, res, cts):
+    grid_coords, rgb, sigma = res
+    gsil, gimg = cts
+    dg, drgb = _run_rgb_bwd(grid_coords, rgb, sigma, gsil, gimg,
+                            vox_size, radius, chunk)
+    return dg, drgb, jnp.zeros_like(sigma)
+
+
+render_drc_rgb_pallas_batched.defvjp(_rgb_vjp_fwd, _rgb_vjp_bwd)

@@ -112,18 +112,21 @@ def project_pointcloud(points: jnp.ndarray, cam: Camera, sigma,
 def fused_render_available(cfg: Config, has_rgb: bool) -> bool:
     """True when the fully-fused splat->collapse Pallas kernel can render
     this config (the training default: gauss splat, drc collapse, clipped
-    grids, no RGB, on TPU)."""
-    return (cfg.use_pallas and not has_rgb and cfg.splat_mode == "gauss"
+    grids, on TPU; RGB has its own fused variant)."""
+    del has_rgb  # both silhouette-only and RGB variants exist
+    return (cfg.use_pallas and cfg.splat_mode == "gauss"
             and cfg.proj_mode == "drc" and cfg.clip_voxels
             and jax.default_backend() == "tpu")
 
 
 def render_silhouettes_fused(points: jnp.ndarray, cams: Camera, sigma,
-                             cfg: Config) -> jnp.ndarray:
-    """(P, N, 3) points + (P,)-batched cameras -> (P, H, W) silhouettes via
-    the fused Pallas kernel (grid never leaves VMEM; backward rematerializes
-    in-kernel, so no jax.checkpoint needed around this)."""
-    from tpu_unsup_pc.ops.pallas.render_kernel import render_drc_pallas_batched
+                             cfg: Config, rgb: jnp.ndarray | None = None):
+    """(P, N, 3) points + (P,)-batched cameras -> ((P, H, W) silhouettes,
+    (P, H, W, 3) images | None) via the fused Pallas kernels (grid never
+    leaves VMEM; backward rematerializes in-kernel, so no jax.checkpoint
+    needed around this)."""
+    from tpu_unsup_pc.ops.pallas.render_kernel import (
+        render_drc_pallas_batched, render_drc_rgb_pallas_batched)
     from tpu_unsup_pc.ops.pallas.splat_kernel import pad_points
     D = cfg.vox_size
     radius = static_gauss_radius(max(cfg.sigma_start, cfg.sigma_end))
@@ -131,8 +134,16 @@ def render_silhouettes_fused(points: jnp.ndarray, cams: Camera, sigma,
                              points.shape[:1])
     g = world_to_grid(points, cams, D, cfg.depth_extent)
     sigma_k = jnp.sqrt(sigma ** 2 + 1.0 / 6.0)      # hat-variance corr.
-    return render_drc_pallas_batched(pad_points(g, cfg.point_chunk),
-                                     sigma_k, D, radius, cfg.point_chunk)
+    g_pad = pad_points(g, cfg.point_chunk)
+    if rgb is None:
+        sil = render_drc_pallas_batched(g_pad, sigma_k, D, radius,
+                                        cfg.point_chunk)
+        return sil, None
+    pad = g_pad.shape[1] - rgb.shape[1]
+    rgb_pad = jnp.pad(rgb, ((0, 0), (0, pad), (0, 0)))
+    sil, img = render_drc_rgb_pallas_batched(g_pad, rgb_pad, sigma_k, D,
+                                             radius, cfg.point_chunk)
+    return sil, jnp.moveaxis(img, 1, -1)            # (P, H, W, 3)
 
 
 def project_pointclouds_batched(points: jnp.ndarray, cams: Camera, sigma,

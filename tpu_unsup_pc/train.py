@@ -77,6 +77,12 @@ def main(argv=None):
     maybe_init_distributed()
     cfg = build_config(args)
     n_mesh = int(math.prod(cfg.mesh_shape))
+    n_dev = len(jax.devices())
+    if n_mesh > n_dev:
+        print(f"warning: preset wants a {n_mesh}-chip mesh, only {n_dev} "
+              f"device(s) visible — clamping")
+        n_mesh = n_dev
+        cfg = cfg.replace(mesh_shape=(n_mesh,))
     assert cfg.batch_size % n_mesh == 0, (cfg.batch_size, n_mesh)
 
     ds_kwargs = {"num_models": args.num_models} \
