@@ -534,3 +534,167 @@ def _rgb_vjp_bwd(vox_size, radius, chunk, res, cts):
 
 
 render_drc_rgb_pallas_batched.defvjp(_rgb_vjp_fwd, _rgb_vjp_bwd)
+
+
+# ===================================================================
+# Store-don't-recompute VJP for the silhouette render: the forward (when
+# called under grad) also writes the voxel grid to HBM; the backward reads
+# it back instead of re-splatting. HBM round trip ~ P*D^3*8B at ~0.8TB/s
+# vs re-running the accumulate loop (~40% of the old backward). The
+# pure-inference path (no grad) still uses the grid-free forward.
+# ===================================================================
+
+def _fwd_kernel_store(sigma_ref, g_ref, sil_ref, grid_ref, acc_ref, *,
+                      D, HT, radius, chunk):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk,
+                (ht * HT).astype(jnp.float32))
+
+    def collapse(d, trans):
+        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    trans = jax.lax.fori_loop(0, D, collapse,
+                              jnp.ones((HT, D), jnp.float32))
+    sil_ref[0] = 1.0 - trans
+    grid_ref[0] = acc_ref[...].reshape(D, HT, D)
+
+
+def _run_fwd_store(g, sigma, D, radius, chunk):
+    P, N, _ = g.shape
+    HT = _h_tile(D)
+    chunk = _chunk_budget(D, HT, chunk, live=2, reserve=D * HT * D * 4)
+    sil, grid = pl.pallas_call(
+        functools.partial(_fwd_kernel_store, D=D, HT=HT, radius=radius,
+                          chunk=chunk),
+        grid=(P, D // HT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, HT, D), lambda p, h: (p, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((P, D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((P, D, D, D), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), g)
+    return sil, grid
+
+
+def _bwd_kernel_stored(sigma_ref, g_ref, grid_ref, gsil_ref, dg_ref,
+                       cot_ref, *, D, HT, radius, chunk):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    inv_s2 = 2.0 * inv2s2
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+
+    def collapse(d, trans):
+        v = jnp.clip(grid_ref[0, d], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    trans = jax.lax.fori_loop(0, D, collapse,
+                              jnp.ones((HT, D), jnp.float32))
+    gt = gsil_ref[0] * trans
+
+    def fill_cot(d, _):
+        raw = grid_ref[0, d]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        mask = (raw < 1.0 - _EPS).astype(jnp.float32)
+        cot_ref[pl.ds(d * HT, HT), :] = gt / (1.0 - v) * mask
+        return 0
+
+    jax.lax.fori_loop(0, D, fill_cot, 0)
+
+    n_chunks = g_ref.shape[1] // chunk
+
+    def body(c, _):
+        g = g_ref[0, pl.ds(c * chunk, chunk), :]
+        gz, gy_full, gx = g[:, 0], g[:, 1], g[:, 2]
+        gy = gy_full - h0
+        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, dlzz = _log_norm(gz, inv2s2, radius)
+        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
+        zx, dlzx = _log_norm(gx, inv2s2, radius)
+        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+        gout = cot_ref[...]
+        d_ww = jax.lax.dot_general(p_raw, gout, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        d_p = jax.lax.dot_general(ww, gout, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        pd = d_p * p_raw
+        dwsum = jnp.sum(d_ww * ww, axis=1)
+        dgz = (jnp.sum(pd * dzd, axis=1) * inv_s2) - dlzz * dwsum
+        dgy = (jnp.sum(pd * dyd, axis=1) * inv_s2) - dlzy * dwsum
+        dgx = (jnp.sum(d_ww * ww * dxd, axis=1) * inv_s2) - dlzx * dwsum
+        dg_ref[0, pl.ds(c * chunk, chunk), :] += jnp.stack(
+            [dgz, dgy, dgx], axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _run_bwd_stored(g, sigma, grid, gsil, D, radius, chunk):
+    P, N, _ = g.shape
+    HT = _h_tile(D)
+    chunk = _chunk_budget(D, HT, chunk, live=4,
+                          reserve=2 * D * HT * D * 4)
+    dg = pl.pallas_call(
+        functools.partial(_bwd_kernel_stored, D=D, HT=HT, radius=radius,
+                          chunk=chunk),
+        grid=(P, D // HT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, HT, D), lambda p, h: (p, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, N, 3), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), g, grid, gsil)
+    return dg
+
+
+def _vjp_fwd_store(grid_coords, sigma, vox_size, radius, chunk):
+    sil, grid = _run_fwd_store(grid_coords, sigma, vox_size, radius, chunk)
+    return sil, (grid_coords, sigma, grid)
+
+
+def _vjp_bwd_store(vox_size, radius, chunk, res, gsil):
+    grid_coords, sigma, grid = res
+    dg = _run_bwd_stored(grid_coords, sigma, grid, gsil, vox_size, radius,
+                         chunk)
+    return dg, jnp.zeros_like(sigma)
+
+
+# MEASURED on v5e-1 (40x2k@64^3 / 6x8k@128^3, fwd+bwd): store-grid
+# 3.91ms / 9.55ms vs recompute 4.06ms / 7.41ms — storing ties at 64^3 and
+# loses at 128^3 (the forward's grid writes stall its pipeline more than
+# the backward's re-splat costs). The recompute VJP defined earlier in
+# this module therefore stays active; the stored variant is kept as the
+# documented alternative for memory-rich parts.
