@@ -48,6 +48,18 @@ from tpu_unsup_pc.ops.pallas.splat_kernel import (_axis_weight, _interpret,
 _EPS = 1e-6
 
 
+def _dot(a, b, dims, bf16: bool):
+    """MXU contraction with optional bf16 inputs (f32 accumulation).
+    bf16 halves the matmul time on v5e — the fused backward is MXU-f32
+    bound (~171 GFLOP per 40x2k@64^3 call) — at ~0.4% weight precision
+    (mixed-precision training territory; opt-in via cfg.pallas_bf16)."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
+
 def _h_tile(D: int) -> int:
     """H-tile size: whole image at 64^3 and below; 32-row tiles at 128^3
     so the (D*HT, W) accumulator + cotangent + (chunk, D*HT) temporaries
@@ -65,7 +77,8 @@ def _chunk_budget(D: int, HT: int, chunk: int, live: int,
     return max(c, 8)
 
 
-def _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk, h0):
+def _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk, h0,
+                bf16=False):
     """fori over point-chunks: acc_ref (D*HT, W) += splat of every chunk.
     h0 = first image row of this tile."""
     inv2s2 = 0.5 / (sigma * sigma)
@@ -80,22 +93,20 @@ def _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk, h0):
         zx, _ = _log_norm(gx, inv2s2, radius)
         ww_raw, _ = _axis_weight(gx, inv2s2, D)
         ww = ww_raw / (zz * zy * zx)[:, None]
-        acc_ref[...] += jax.lax.dot_general(
-            p_raw, ww, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        acc_ref[...] += _dot(p_raw, ww, (((0,), (0,)), ((), ())), bf16)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 def _fwd_kernel(sigma_ref, g_ref, sil_ref, acc_ref, *, D, HT, radius,
-                chunk):
+                chunk, bf16=False):
     p = pl.program_id(0)
     ht = pl.program_id(1)
     sigma = sigma_ref[p, 0]
     acc_ref[...] = jnp.zeros_like(acc_ref)
     _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk,
-                (ht * HT).astype(jnp.float32))
+                (ht * HT).astype(jnp.float32), bf16)
 
     def collapse(d, trans):
         v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
@@ -106,13 +117,13 @@ def _fwd_kernel(sigma_ref, g_ref, sil_ref, acc_ref, *, D, HT, radius,
     sil_ref[0] = 1.0 - trans
 
 
-def _run_fwd(g, sigma, D, radius, chunk):
+def _run_fwd(g, sigma, D, radius, chunk, bf16=False):
     P, N, _ = g.shape
     HT = _h_tile(D)
     chunk = _chunk_budget(D, HT, chunk, live=2, reserve=D * HT * D * 4)
     sil = pl.pallas_call(
         functools.partial(_fwd_kernel, D=D, HT=HT, radius=radius,
-                          chunk=chunk),
+                          chunk=chunk, bf16=bf16),
         grid=(P, D // HT),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -135,7 +146,7 @@ def _run_fwd(g, sigma, D, radius, chunk):
 
 
 def _bwd_kernel(sigma_ref, g_ref, gsil_ref, dg_ref, acc_ref, cot_ref, *,
-                D, HT, radius, chunk):
+                D, HT, radius, chunk, bf16=False):
     p = pl.program_id(0)
     ht = pl.program_id(1)
     sigma = sigma_ref[p, 0]
@@ -149,7 +160,7 @@ def _bwd_kernel(sigma_ref, g_ref, gsil_ref, dg_ref, acc_ref, cot_ref, *,
 
     # 1) recompute this H-tile's grid block
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk, h0)
+    _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk, h0, bf16)
 
     # 2) collapse cotangent: dL/dv = gsil * T_total / (1 - v), masked at
     #    the clip boundary; T_total from one depth loop.
@@ -184,10 +195,8 @@ def _bwd_kernel(sigma_ref, g_ref, gsil_ref, dg_ref, acc_ref, cot_ref, *,
         ww_raw, dxd = _axis_weight(gx, inv2s2, D)
         ww = ww_raw / (zz * zy * zx)[:, None]
         gout = cot_ref[...]                              # (D*HT, W)
-        d_ww = jax.lax.dot_general(p_raw, gout, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        d_p = jax.lax.dot_general(ww, gout, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        d_ww = _dot(p_raw, gout, (((1,), (0,)), ((), ())), bf16)
+        d_p = _dot(ww, gout, (((1,), (1,)), ((), ())), bf16)
         pd = d_p * p_raw
         dwsum = jnp.sum(d_ww * ww, axis=1)
         dgz = (jnp.sum(pd * dzd, axis=1) * inv_s2) - dlzz * dwsum
@@ -200,14 +209,14 @@ def _bwd_kernel(sigma_ref, g_ref, gsil_ref, dg_ref, acc_ref, cot_ref, *,
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def _run_bwd(g, sigma, gsil, D, radius, chunk):
+def _run_bwd(g, sigma, gsil, D, radius, chunk, bf16=False):
     P, N, _ = g.shape
     HT = _h_tile(D)
     chunk = _chunk_budget(D, HT, chunk, live=4,
                           reserve=2 * D * HT * D * 4)
     dg = pl.pallas_call(
         functools.partial(_bwd_kernel, D=D, HT=HT, radius=radius,
-                          chunk=chunk),
+                          chunk=chunk, bf16=bf16),
         grid=(P, D // HT),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -228,25 +237,26 @@ def _run_bwd(g, sigma, gsil, D, radius, chunk):
     return dg
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def render_drc_pallas_batched(grid_coords: jnp.ndarray, sigma: jnp.ndarray,
                               vox_size: int, radius: int = 13,
-                              chunk: int = 512) -> jnp.ndarray:
+                              chunk: int = 512,
+                              bf16: bool = False) -> jnp.ndarray:
     """Fused batched render: (P, N, 3) grid coords (+ (P,) sigmas) ->
     (P, H, W) DRC silhouettes. The D^3 grid exists only in VMEM. N must be
     a chunk multiple (use splat_kernel.pad_points). Differentiable w.r.t.
     grid_coords; zero cotangent for sigma."""
-    return _run_fwd(grid_coords, sigma, vox_size, radius, chunk)
+    return _run_fwd(grid_coords, sigma, vox_size, radius, chunk, bf16)
 
 
-def _vjp_fwd(grid_coords, sigma, vox_size, radius, chunk):
-    return _run_fwd(grid_coords, sigma, vox_size, radius, chunk), \
+def _vjp_fwd(grid_coords, sigma, vox_size, radius, chunk, bf16=False):
+    return _run_fwd(grid_coords, sigma, vox_size, radius, chunk, bf16), \
         (grid_coords, sigma)
 
 
-def _vjp_bwd(vox_size, radius, chunk, res, gsil):
+def _vjp_bwd(vox_size, radius, chunk, bf16, res, gsil):
     grid_coords, sigma = res
-    dg = _run_bwd(grid_coords, sigma, gsil, vox_size, radius, chunk)
+    dg = _run_bwd(grid_coords, sigma, gsil, vox_size, radius, chunk, bf16)
     return dg, jnp.zeros_like(sigma)
 
 

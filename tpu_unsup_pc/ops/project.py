@@ -137,7 +137,7 @@ def render_silhouettes_fused(points: jnp.ndarray, cams: Camera, sigma,
     g_pad = pad_points(g, cfg.point_chunk)
     if rgb is None:
         sil = render_drc_pallas_batched(g_pad, sigma_k, D, radius,
-                                        cfg.point_chunk)
+                                        cfg.point_chunk, cfg.pallas_bf16)
         return sil, None
     pad = g_pad.shape[1] - rgb.shape[1]
     rgb_pad = jnp.pad(rgb, ((0, 0), (0, pad), (0, 0)))

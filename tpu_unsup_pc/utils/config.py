@@ -73,6 +73,7 @@ class Config:
     mesh_shape: Tuple[int, ...] = (1,)       # data-parallel mesh, e.g. (8,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     use_pallas: bool = False       # fused Pallas splat kernel (speed retrofit)
+    pallas_bf16: bool = False      # bf16 MXU inputs in the fused render
     point_chunk: int = 512         # chunk size for the separable-matmul splat
 
     # ---- checkpoint / logging ----
