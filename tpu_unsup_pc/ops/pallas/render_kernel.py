@@ -135,7 +135,8 @@ def _run_fwd(g, sigma, D, radius, chunk, bf16=False):
         out_shape=jax.ShapeDtypeStruct((P, D, D), jnp.float32),
         scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * P * N * D * D * D,
             bytes_accessed=P * (N * 12 + D * D * 4),
@@ -231,7 +232,8 @@ def _run_bwd(g, sigma, gsil, D, radius, chunk, bf16=False):
         scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32),
                         pltpu.VMEM((D * HT, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(sigma.reshape(P, 1), g, gsil)
     return dg
@@ -368,7 +370,8 @@ def _run_rgb_fwd(g, rgb, sigma, D, radius, chunk):
         scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
                         for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(sigma.reshape(P, 1), g, rgb)
     return sil, img
@@ -596,7 +599,8 @@ def _run_fwd_store(g, sigma, D, radius, chunk):
                    jax.ShapeDtypeStruct((P, D, D, D), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(sigma.reshape(P, 1), g)
     return sil, grid
@@ -684,7 +688,8 @@ def _run_bwd_stored(g, sigma, grid, gsil, D, radius, chunk):
         out_shape=jax.ShapeDtypeStruct((P, N, 3), jnp.float32),
         scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(sigma.reshape(P, 1), g, grid, gsil)
     return dg

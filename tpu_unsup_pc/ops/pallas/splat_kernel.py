@@ -157,7 +157,8 @@ def _run_fwd(g, sigma, D, radius, chunk):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, D * D, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * P * N * D * D * D,
             bytes_accessed=P * (N * 12 + D * D * D * 4),
@@ -232,7 +233,8 @@ def _run_bwd(g, sigma, gout, D, radius, chunk):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, N, 3), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(sigma.reshape(P, 1), g, gout.reshape(P, D * D, D))
     return dg
