@@ -76,3 +76,36 @@ def test_category_filter(tmp_path):
 
 def test_factory():
     assert isinstance(make_dataset(CFG, num_models=2), SyntheticShapes)
+
+
+def test_prefetch_early_exit_does_not_leak(tmp_path):
+    """Abandoning a batches() iterator must unblock the producer thread
+    (regression: producer used to block forever in q.put)."""
+    import threading
+    import time
+    from tpu_unsup_pc.data.prefetch import prefetch_batches
+
+    before = threading.active_count()
+    it = prefetch_batches(lambda: {"x": np.zeros(4)}, steps=10_000,
+                          maxsize=1)
+    next(it)
+    it.close()             # consumer walks away after one batch
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_shapenet_get_batch(tmp_path):
+    """Explicit-index batches (the predict/eval path) work on the npz
+    loader (regression: predict crashed on shapenet presets)."""
+    ds = SyntheticShapes(CFG, num_models=4)
+    write_npz_dataset(str(tmp_path), "03001627", ds.images, ds.masks,
+                      ds.azimuth, ds.elevation, split="train")
+    cfg = CFG.replace(dataset="shapenet", data_dir=str(tmp_path),
+                      categories=("03001627",))
+    loader = ShapeNetViews(cfg)
+    b = loader.get_batch([0, 2])
+    assert b["image"].shape[0] == 2
+    np.testing.assert_allclose(b["azimuth"],
+                               ds.azimuth[[0, 2], :CFG.num_views])

@@ -137,27 +137,9 @@ class TubDataset:
 
     def batches(self, steps: int,
                 batch_size: int | None = None) -> Iterator[Dict]:
-        import queue
-        q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
-        stop = threading.Event()
-
-        def producer():
-            for _ in range(steps):
-                if stop.is_set():
-                    return
-                q.put(self.sample_batch(batch_size))
-            q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                b = q.get()
-                if b is None:
-                    return
-                yield b
-        finally:
-            stop.set()
+        from tpu_unsup_pc.data.prefetch import prefetch_batches
+        return prefetch_batches(lambda: self.sample_batch(batch_size),
+                                steps, maxsize=self._prefetch)
 
     def __iter__(self):
         while True:

@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import queue
-import threading
 from typing import Dict, Iterator, Sequence
 
 import numpy as np
@@ -62,41 +60,32 @@ class ShapeNetViews:
             if mask.max() > 1.5:
                 mask = mask / 255.0
             V = self.cfg.num_views
+            if img.shape[0] < V:
+                raise ValueError(
+                    f"{rel} has {img.shape[0]} views < cfg.num_views={V}")
             return {"image": img[:V], "mask": mask[:V],
                     "azimuth": z["azimuth"][:V].astype(np.float32),
                     "elevation": z["elevation"][:V].astype(np.float32)}
 
+    def get_batch(self, idx) -> Dict:
+        """Assemble a batch from explicit model indices (eval/predict)."""
+        loaded = [self._load_model(self.models[int(i)]) for i in idx]
+        return {k: np.stack([d[k] for d in loaded]) for k in loaded[0]}
+
     def sample_batch(self, batch_size: int | None = None) -> Dict:
         bs = batch_size or self.cfg.batch_size
-        idx = self._rng.integers(0, len(self.models), size=bs)
-        loaded = [self._load_model(self.models[i]) for i in idx]
-        return {k: np.stack([d[k] for d in loaded]) for k in loaded[0]}
+        return self.get_batch(self._rng.integers(0, len(self.models),
+                                                 size=bs))
 
     def batches(self, steps: int,
                 batch_size: int | None = None) -> Iterator[Dict]:
-        """Prefetching batch stream: worker threads stay `prefetch` batches
-        ahead of the consumer so npz decode overlaps device compute."""
+        """Prefetching batch stream: a worker thread stays `prefetch`
+        batches ahead of the consumer so npz decode overlaps device
+        compute."""
+        from tpu_unsup_pc.data.prefetch import prefetch_batches
         bs = batch_size or self.cfg.batch_size
-        q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
-        stop = threading.Event()
-
-        def producer():
-            for _ in range(steps):
-                if stop.is_set():
-                    return
-                q.put(self.sample_batch(bs))
-            q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                b = q.get()
-                if b is None:
-                    return
-                yield b
-        finally:
-            stop.set()
+        return prefetch_batches(lambda: self.sample_batch(bs), steps,
+                                maxsize=self._prefetch)
 
     def __iter__(self):
         while True:

@@ -139,8 +139,10 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
     H, W = sils.shape[-2:]
     sils = sils.reshape(B, S, V, K, H, W)
     mask_t = batch["mask"][:, None, :, None]                 # (B,1,V,1,H,W)
-    pair_losses = jnp.mean((sils - mask_t) ** 2, axis=(-2, -1))  # (B,S,V,K)
+    sil_pair = jnp.mean((sils - mask_t) ** 2, axis=(-2, -1))  # (B,S,V,K)
+    pair_losses = sil_pair
 
+    rgb_pair = None
     if rgb is not None:
         rgb_imgs = rgb_imgs.reshape(B, S, V, K, H, W, 3)
         img_t = batch["image"][:, None, :, None]
@@ -148,7 +150,8 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
         err = jnp.sum((rgb_imgs - img_t) ** 2, axis=-1) * mask_b
         rgb_pair = (jnp.sum(err, axis=(-2, -1))
                     / jnp.maximum(jnp.sum(mask_b, axis=(-2, -1)), 1.0))
-        pair_losses = pair_losses + cfg.rgb_loss_weight * rgb_pair
+        # candidate selection uses the combined objective
+        pair_losses = sil_pair + cfg.rgb_loss_weight * rgb_pair
 
     # teacher: min-loss candidate per (b, s, t) pair
     best_k = jnp.argmin(pair_losses, axis=-1)                # (B,S,V)
@@ -162,6 +165,15 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
     loss_student = jnp.mean(1.0 - dot ** 2)
 
     total = loss_teacher + cfg.pose_student_weight * loss_student
-    metrics = {"loss_sil": loss_teacher, "loss_student": loss_student,
-               "loss": total}
+    # report per-term losses at the SELECTED candidates so loss_sil means
+    # the same thing as in the known-pose branch
+    sel_sil = jnp.take_along_axis(sil_pair, best_k[..., None],
+                                  axis=-1)[..., 0]
+    metrics = {"loss_teacher": loss_teacher,
+               "loss_sil": jnp.mean(sel_sil),
+               "loss_student": loss_student, "loss": total}
+    if rgb_pair is not None:
+        sel_rgb = jnp.take_along_axis(rgb_pair, best_k[..., None],
+                                      axis=-1)[..., 0]
+        metrics["loss_rgb"] = jnp.mean(sel_rgb)
     return total, metrics

@@ -40,11 +40,10 @@ class PoseHead(nn.Module):
         K = self.num_candidates
         raw_c = nn.Dense(K * 4, dtype=self.dtype,
                          name="candidates_head")(x).astype(jnp.float32)
-        # bias init spreads candidates: add fixed rotations so candidates
-        # don't collapse at init (symmetry breaking for the ensemble)
-        anchors = self.param(
-            "candidate_anchors",
-            lambda key, shape: _anchor_quats(K), (K, 4))
+        # fixed (non-trainable) rotation anchors spread the candidates so
+        # the ensemble can't collapse: constants, deliberately NOT
+        # registered as params (the optimizer must not move them)
+        anchors = _anchor_quats(K)
         cand = quat_normalize(raw_c.reshape(-1, K, 4) + anchors[None])
         raw_s = nn.Dense(4, dtype=self.dtype,
                          name="student_head")(x).astype(jnp.float32)

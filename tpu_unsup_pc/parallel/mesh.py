@@ -22,9 +22,16 @@ from tpu_unsup_pc.utils.config import Config
 
 def maybe_init_distributed() -> None:
     """Call jax.distributed.initialize() only in a true multi-process
-    launch (JAX_PROCESS_COUNT / coordinator env present); no-op locally."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    launch (coordinator env present); no-op locally. Must run before any
+    backend use — so the guard checks ONLY environment variables (calling
+    jax.process_count() here would itself initialize the backend and make
+    initialize() unusable)."""
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    try:
         jax.distributed.initialize()
+    except RuntimeError as e:  # already initialized / backend already up
+        print(f"warning: jax.distributed.initialize skipped: {e}")
 
 
 def make_mesh(cfg: Config | None = None,

@@ -100,6 +100,16 @@ class Config:
     def validate(self) -> "Config":
         assert self.image_size in (32, 64, 128), self.image_size
         assert self.vox_size in (32, 64, 128), self.vox_size
+        # silhouettes come out at vox_size resolution and are compared
+        # against image-resolution masks — the two must match
+        assert self.image_size == self.vox_size, (
+            f"image_size={self.image_size} must equal "
+            f"vox_size={self.vox_size} (silhouette vs mask resolution)")
+        # kernel chunking halves point_chunk to fit VMEM; power-of-two
+        # keeps every reduced chunk an exact divisor of the padded N
+        assert (self.point_chunk >= 8
+                and self.point_chunk & (self.point_chunk - 1) == 0), (
+            f"point_chunk={self.point_chunk} must be a power of two >= 8")
         assert self.splat_mode in ("gauss", "trilinear_blur"), self.splat_mode
         assert self.proj_mode in ("drc", "max", "sum"), self.proj_mode
         assert self.sigma_schedule in ("exp", "linear", "const")
