@@ -28,12 +28,19 @@ def parse_args(argv=None):
     p.add_argument("--num-models", type=int, default=64)
     p.add_argument("--split", default="test")
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--dataset", default=None,
+                   choices=("synthetic", "shapenet", "tub"))
+    p.add_argument("--data-dir", default=None)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     cfg = presets.get(args.preset)
+    if args.dataset is not None:
+        cfg = cfg.replace(dataset=args.dataset)
+    if args.data_dir is not None:
+        cfg = cfg.replace(data_dir=args.data_dir)
     ds_kwargs = {"num_models": args.num_models} \
         if cfg.dataset == "synthetic" else {}
     dataset = make_dataset(cfg, split=args.split, **ds_kwargs)
