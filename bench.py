@@ -44,13 +44,19 @@ def bench_jax(use_pallas: bool = True) -> float:
     cams = _gt_cameras(cfg, batch)
 
     def loss_fn(pts):
-        pts_f = jnp.broadcast_to(pts[:, None], (B, V, N, 3)
-                                 ).reshape(B * V, N, 3)
-        sigma_f = jnp.full((B * V,), SIGMA, jnp.float32)
-        sils, _ = _render_pairs(cfg, pts_f, None, sigma_f,
-                                cams.quat.reshape(B * V, 4),
-                                cams.distance.reshape(B * V))
-        return jnp.mean((sils.reshape(B, V, *sils.shape[-2:]) - masks) ** 2)
+        # all-pairs multi-view consistency, exactly like compute_loss:
+        # every per-view cloud renders into every view -> B*V*V pairs
+        P = B * V * V
+        pts_f = jnp.broadcast_to(pts[:, None, None], (B, V, V, N, 3)
+                                 ).reshape(P, N, 3)
+        sigma_f = jnp.full((P,), SIGMA, jnp.float32)
+        quat_f = jnp.broadcast_to(cams.quat[:, None], (B, V, V, 4)
+                                  ).reshape(P, 4)
+        dist_f = jnp.broadcast_to(cams.distance[:, None], (B, V, V)
+                                  ).reshape(P)
+        sils, _ = _render_pairs(cfg, pts_f, None, sigma_f, quat_f, dist_f)
+        sils = sils.reshape(B, V, V, *sils.shape[-2:])
+        return jnp.mean((sils - masks[:, None]) ** 2)
 
     step = jax.jit(jax.grad(loss_fn))
     step(points).block_until_ready()          # compile + warm
@@ -60,7 +66,10 @@ def bench_jax(use_pallas: bool = True) -> float:
     g.block_until_ready()
     dt = (time.perf_counter() - t0) / ITERS
     n_chips = 1  # bench runs on the single real chip
-    return (B * V * N) / dt / n_chips
+    # rate of (point, view)-pair renders: B*V^2 pairs per step (all-pairs
+    # loss, same as training); the oracle renders B*V pairs — both are
+    # rates of the identical projector op, so the ratio is fair
+    return (B * V * V * N) / dt / n_chips
 
 
 def bench_oracle() -> float:

@@ -81,6 +81,32 @@ def test_fused_rgb_matches_projector(rng):
                                atol=1e-4)
 
 
+def test_fused_soa_matches_projector(rng):
+    """The SoA silhouette path (the training default under use_pallas) ==
+    the XLA batched projector, values and gradients."""
+    from tpu_unsup_pc.ops.project import render_silhouettes_fused
+    cfg = presets.get("tiny").replace(vox_size=16, image_size=16,
+                                      point_chunk=32, use_pallas=True)
+    pts = jnp.asarray(rng.uniform(-0.35, 0.35, size=(3, 60, 3))
+                      .astype(np.float32))
+    az = jnp.asarray([0.4, 2.2, -1.0], jnp.float32)
+    el = jnp.asarray([0.2, -0.1, 0.6], jnp.float32)
+    cams = make_camera(az, el, cfg.camera_distance, cfg.focal_length)
+    sigma = jnp.asarray([1.0, 1.3, 0.8], jnp.float32)
+    sil_k, _ = render_silhouettes_fused(pts, cams, sigma, cfg)
+    ref = project_pointclouds_batched(pts, cams, sigma,
+                                      cfg.replace(use_pallas=False))
+    np.testing.assert_allclose(np.asarray(sil_k),
+                               np.asarray(ref.silhouette), atol=1e-5)
+    tgt = jnp.asarray(rng.normal(size=sil_k.shape).astype(np.float32))
+    gk = jax.grad(lambda p: jnp.sum(
+        render_silhouettes_fused(p, cams, sigma, cfg)[0] * tgt))(pts)
+    gr = jax.grad(lambda p: jnp.sum(project_pointclouds_batched(
+        p, cams, sigma, cfg.replace(use_pallas=False)).silhouette
+        * tgt))(pts)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
+
+
 def test_fused_rgb_grads(rng):
     from tpu_unsup_pc.ops.pallas.splat_kernel import pad_points
     g = jnp.asarray(rng.uniform(2, D - 3, size=(1, 64, 3))

@@ -27,7 +27,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from tpu_unsup_pc.ops.quaternion import quat_from_euler, quat_rotate
+from tpu_unsup_pc.ops.quaternion import (quat_from_euler, quat_rotate,
+                                         quat_to_rotation_matrix)
 
 
 class Camera(NamedTuple):
@@ -80,6 +81,36 @@ def frustum_to_grid(frustum: jnp.ndarray, vox_size: int) -> jnp.ndarray:
     """Frustum coords in [-0.5, 0.5] -> fractional voxel indices in
     [-0.5, D - 0.5] (same cube resolution D on all three axes)."""
     return (frustum + 0.5) * vox_size - 0.5
+
+
+def world_to_grid_soa(px, py, pz, cam: Camera, vox_size: int,
+                      depth_extent: float):
+    """Structure-of-arrays world->grid: (..., N) coordinate components in,
+    (gz, gy, gx) fractional voxel indices out. Same math as world_to_grid
+    but with no 3-wide trailing axis anywhere — on TPU a (..., N, 3) array
+    puts 3 on the lane dimension (x128 padding) and feeding one to a
+    Pallas custom call forces expensive layout conversions; dense (..., N)
+    components tile natively (measured ~15ms/step saved at training
+    shapes). Rotation applied via explicit matrix elements."""
+    R = quat_to_rotation_matrix(cam.quat)            # (..., 3, 3)
+
+    def r(i, j):
+        return R[..., i, j][..., None]
+
+    x = r(0, 0) * px + r(0, 1) * py + r(0, 2) * pz
+    y = r(1, 0) * px + r(1, 1) * py + r(1, 2) * pz
+    z = (r(2, 0) * px + r(2, 1) * py + r(2, 2) * pz
+         + cam.distance[..., None])
+    z_safe = jnp.maximum(z, 1e-4)
+    f = cam.focal[..., None]
+    u = f * x / z_safe
+    v = f * y / z_safe
+    w = (z - cam.distance[..., None]) / depth_extent
+
+    def to_grid(c):
+        return (c + 0.5) * vox_size - 0.5
+
+    return to_grid(w), to_grid(v), to_grid(u)
 
 
 def world_to_grid(points: jnp.ndarray, cam: Camera, vox_size: int,

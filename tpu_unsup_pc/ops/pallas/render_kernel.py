@@ -713,3 +713,204 @@ def _vjp_bwd_store(vox_size, radius, chunk, res, gsil):
 # the backward's re-splat costs). The recompute VJP defined earlier in
 # this module therefore stays active; the stored variant is kept as the
 # documented alternative for memory-rich parts.
+
+
+# ===================================================================
+# SoA (structure-of-arrays) interface: coordinates as three dense (P, N)
+# arrays instead of (P, N, 3). Measured motivation: feeding the custom
+# call an (P, N, 3) intermediate forces XLA layout conversions on a
+# 3-wide lane dimension (97% padding) costing ~15ms per step at
+# B8xV5-all-pairs — the three (P, N) operands tile natively and the
+# in-kernel per-chunk slices become clean (chunk,) vectors. This is the
+# training hot path; the AoS entry points above remain for compatibility.
+# ===================================================================
+
+def _accumulate_soa(acc_ref, gz_ref, gy_ref, gx_ref, sigma, D, HT, radius,
+                    chunk, h0, bf16=False):
+    inv2s2 = 0.5 / (sigma * sigma)
+    n_chunks = gz_ref.shape[2] // chunk
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        gz = gz_ref[0, 0, sl]
+        gy = gy_ref[0, 0, sl] - h0
+        gx = gx_ref[0, 0, sl]
+        p_raw, _, _ = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, _ = _log_norm(gz, inv2s2, radius)
+        zy, _ = _log_norm(gy, inv2s2, radius)
+        zx, _ = _log_norm(gx, inv2s2, radius)
+        ww_raw, _ = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+        acc_ref[...] += _dot(p_raw, ww, (((0,), (0,)), ((), ())), bf16)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, sil_ref, acc_ref,
+                    *, D, HT, radius, chunk, bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _accumulate_soa(acc_ref, gz_ref, gy_ref, gx_ref, sigma, D, HT, radius,
+                    chunk, (ht * HT).astype(jnp.float32), bf16)
+
+    def collapse(d, trans):
+        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    trans = jax.lax.fori_loop(0, D, collapse,
+                              jnp.ones((HT, D), jnp.float32))
+    sil_ref[0] = 1.0 - trans
+
+
+def _run_fwd_soa(gz, gy, gx, sigma, D, radius, chunk, bf16):
+    P, N = gz.shape
+    HT = _h_tile(D)
+    chunk = _chunk_budget(D, HT, chunk, live=2, reserve=D * HT * D * 4)
+    # coords travel as (P, 1, N): a (1, 1, N) block satisfies Mosaic's
+    # sublane-divisibility rule (a (1, N) block of (P, N) does not)
+    gz, gy, gx = (c.reshape(P, 1, N) for c in (gz, gy, gx))
+    coord_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                              memory_space=pltpu.VMEM)
+    sil = pl.pallas_call(
+        functools.partial(_fwd_kernel_soa, D=D, HT=HT, radius=radius,
+                          chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  coord_spec, coord_spec, coord_spec],
+        out_specs=pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, D, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), gz, gy, gx)
+    return sil
+
+
+def _bwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, gsil_ref,
+                    dgz_ref, dgy_ref, dgx_ref, acc_ref, cot_ref, *,
+                    D, HT, radius, chunk, bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    inv_s2 = 2.0 * inv2s2
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        dgz_ref[...] = jnp.zeros_like(dgz_ref)
+        dgy_ref[...] = jnp.zeros_like(dgy_ref)
+        dgx_ref[...] = jnp.zeros_like(dgx_ref)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _accumulate_soa(acc_ref, gz_ref, gy_ref, gx_ref, sigma, D, HT, radius,
+                    chunk, h0, bf16)
+
+    def collapse(d, trans):
+        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    trans = jax.lax.fori_loop(0, D, collapse,
+                              jnp.ones((HT, D), jnp.float32))
+    gt = gsil_ref[0] * trans
+
+    def fill_cot(d, _):
+        raw = acc_ref[pl.ds(d * HT, HT), :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        mask = (raw < 1.0 - _EPS).astype(jnp.float32)
+        cot_ref[pl.ds(d * HT, HT), :] = gt / (1.0 - v) * mask
+        return 0
+
+    jax.lax.fori_loop(0, D, fill_cot, 0)
+
+    n_chunks = gz_ref.shape[2] // chunk
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        gz = gz_ref[0, 0, sl]
+        gy_full = gy_ref[0, 0, sl]
+        gx = gx_ref[0, 0, sl]
+        gy = gy_full - h0
+        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, dlzz = _log_norm(gz, inv2s2, radius)
+        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
+        zx, dlzx = _log_norm(gx, inv2s2, radius)
+        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+        gout = cot_ref[...]
+        d_ww = _dot(p_raw, gout, (((1,), (0,)), ((), ())), bf16)
+        d_p = _dot(ww, gout, (((1,), (1,)), ((), ())), bf16)
+        pd = d_p * p_raw
+        dwsum = jnp.sum(d_ww * ww, axis=1)
+        dgz_ref[0, 0, sl] += (jnp.sum(pd * dzd, axis=1) * inv_s2) \
+            - dlzz * dwsum
+        dgy_ref[0, 0, sl] += (jnp.sum(pd * dyd, axis=1) * inv_s2) \
+            - dlzy * dwsum
+        dgx_ref[0, 0, sl] += (jnp.sum(d_ww * ww * dxd, axis=1) * inv_s2) \
+            - dlzx * dwsum
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _run_bwd_soa(gz, gy, gx, sigma, gsil, D, radius, chunk, bf16):
+    P, N = gz.shape
+    HT = _h_tile(D)
+    chunk = _chunk_budget(D, HT, chunk, live=4,
+                          reserve=2 * D * HT * D * 4)
+    gz, gy, gx = (c.reshape(P, 1, N) for c in (gz, gy, gx))
+    coord_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                            memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((P, 1, N), jnp.float32)
+    dgz, dgy, dgx = pl.pallas_call(
+        functools.partial(_bwd_kernel_soa, D=D, HT=HT, radius=radius,
+                          chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  coord_spec, coord_spec, coord_spec,
+                  pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(shp, shp, shp),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32),
+                        pltpu.VMEM((D * HT, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), gz, gy, gx, gsil)
+    return (dgz.reshape(P, N), dgy.reshape(P, N), dgx.reshape(P, N))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def render_drc_pallas_soa(gz, gy, gx, sigma, vox_size: int,
+                          radius: int = 13, chunk: int = 512,
+                          bf16: bool = False) -> jnp.ndarray:
+    """SoA fused render: three (P, N) fractional coordinate arrays
+    (depth, row, col) + (P,) sigmas -> (P, H, W) DRC silhouettes.
+    Differentiable w.r.t. all three coordinate arrays; zero cotangent for
+    sigma. N must be a chunk multiple (pad with large negatives)."""
+    return _run_fwd_soa(gz, gy, gx, sigma, vox_size, radius, chunk, bf16)
+
+
+def _soa_vjp_fwd(gz, gy, gx, sigma, vox_size, radius, chunk, bf16):
+    sil = _run_fwd_soa(gz, gy, gx, sigma, vox_size, radius, chunk, bf16)
+    return sil, (gz, gy, gx, sigma)
+
+
+def _soa_vjp_bwd(vox_size, radius, chunk, bf16, res, gsil):
+    gz, gy, gx, sigma = res
+    dgz, dgy, dgx = _run_bwd_soa(gz, gy, gx, sigma, gsil, vox_size, radius,
+                                 chunk, bf16)
+    return dgz, dgy, dgx, jnp.zeros_like(sigma)
+
+
+render_drc_pallas_soa.defvjp(_soa_vjp_fwd, _soa_vjp_bwd)
