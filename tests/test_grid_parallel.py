@@ -54,6 +54,32 @@ def test_grid_parallel_grads_match(rng):
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
 
 
+def test_two_axis_dp_x_grid_parallel(rng):
+    """DP x grid-parallel on a 2-D mesh (4 batch x 2 point shards) matches
+    the unsharded batched projector."""
+    import numpy as np_
+    from jax.sharding import Mesh
+    from tpu_unsup_pc.ops.project import project_pointclouds_batched
+    from tpu_unsup_pc.parallel.grid_parallel import (
+        make_batched_grid_parallel_projector)
+
+    mesh = Mesh(np_.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "points"))
+    B, N = 4, 128
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, size=(B, N, 3))
+                      .astype(np.float32))
+    az = jnp.asarray(rng.uniform(0, 6.28, B).astype(np.float32))
+    el = jnp.asarray(rng.uniform(-0.3, 0.9, B).astype(np.float32))
+    cams = make_camera(az, el, CFG.camera_distance, CFG.focal_length)
+    sigma = jnp.full((B,), 1.1, jnp.float32)
+    project = make_batched_grid_parallel_projector(CFG, mesh)
+    sil = jax.jit(project)(pts, cams.quat, cams.distance, cams.focal,
+                           sigma)
+    ref = project_pointclouds_batched(pts, cams, sigma, CFG)
+    np.testing.assert_allclose(np.asarray(sil),
+                               np.asarray(ref.silhouette), atol=1e-5)
+
+
 def test_indivisible_points_raise(rng):
     mesh = make_mesh(CFG)
     project = make_grid_parallel_projector(CFG, mesh)

@@ -109,6 +109,18 @@ def test_train_step_updates_params(rng):
     assert not np.allclose(leaf, old)
 
 
+def test_bfloat16_nets_train(rng):
+    """cfg.dtype='bfloat16' computes nets in bf16 (params stay f32) and
+    the train step stays finite and updates."""
+    cfg = CFG.replace(dtype="bfloat16")
+    state = training.init_state(cfg)
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    assert p0.dtype == np.float32          # params stored in f32
+    batch = _dummy_batch(cfg, rng)
+    state, metrics = training.train_step(cfg, state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_eval_and_predict_steps(rng):
     state = training.init_state(CFG)
     batch = _dummy_batch(CFG, rng)

@@ -77,3 +77,41 @@ def make_grid_parallel_projector(cfg: Config, mesh: Mesh,
                        jnp.asarray(sigma, jnp.float32))
 
     return project
+
+
+def make_batched_grid_parallel_projector(cfg: Config, mesh: Mesh,
+                                         batch_axis: str = "data",
+                                         point_axis: str = "points"):
+    """Two-axis composition — DP x grid-parallel on one mesh: the batch
+    axis shards over `batch_axis` while each cloud's POINT axis shards
+    over `point_axis`; partial grids psum over the point-axis ring only.
+    This is the full scaling recipe for huge clouds at scale (SURVEY §2.2:
+    DP is the primary strategy, grid-parallel is the SP analogue; the two
+    compose on a 2-D Mesh exactly like dp x sp in a transformer).
+
+    Returns fn(points (B, N, 3), cams: Camera fields (B,...), sigma (B,))
+    -> silhouettes (B, H, W), replicated over the point axis."""
+    D = cfg.vox_size
+    radius = static_gauss_radius(max(cfg.sigma_start, cfg.sigma_end))
+
+    def local(points_shard, quat, dist, focal, sigma):
+        # shapes per device: (B/|batch|, N/|points|, 3), cams (B/|batch|,..)
+        cam = Camera(quat=quat, distance=dist, focal=focal)
+        g = world_to_grid(points_shard, cam, D, cfg.depth_extent)
+        partial = jax.vmap(
+            lambda gi, si: splat_gauss_separable(
+                gi, D, si, radius=radius,
+                chunk=min(cfg.point_chunk, points_shard.shape[1])))(
+                    g, sigma)
+        occ = jax.lax.psum(partial, point_axis)
+        if cfg.clip_voxels:
+            occ = jnp.clip(occ, 0.0, 1.0)
+        sil, _ = collapse_to_silhouette(occ, cfg.proj_mode)
+        return sil
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(batch_axis, point_axis, None), P(batch_axis),
+                  P(batch_axis), P(batch_axis), P(batch_axis)),
+        out_specs=P(batch_axis),
+        check_vma=False)
