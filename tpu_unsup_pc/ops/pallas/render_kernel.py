@@ -914,3 +914,254 @@ def _soa_vjp_bwd(vox_size, radius, chunk, bf16, res, gsil):
 
 
 render_drc_pallas_soa.defvjp(_soa_vjp_fwd, _soa_vjp_bwd)
+
+
+# ------------------------------------------------------- RGB SoA variant
+# Same SoA rationale as render_drc_pallas_soa: coordinates AND colors as
+# dense (P, 1, N) operands, gradients as six (P, N) arrays.
+
+def _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
+                        cb_ref, sigma, D, HT, radius, chunk, h0,
+                        bf16=False):
+    inv2s2 = 0.5 / (sigma * sigma)
+    n_chunks = gz_ref.shape[2] // chunk
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        gz = gz_ref[0, 0, sl]
+        gy = gy_ref[0, 0, sl] - h0
+        gx = gx_ref[0, 0, sl]
+        vals = (cr_ref[0, 0, sl], cg_ref[0, 0, sl], cb_ref[0, 0, sl])
+        p_raw, _, _ = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, _ = _log_norm(gz, inv2s2, radius)
+        zy, _ = _log_norm(gy, inv2s2, radius)
+        zx, _ = _log_norm(gx, inv2s2, radius)
+        ww_raw, _ = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+        for k in range(4):
+            wk = ww if k == 0 else ww * vals[k - 1][:, None]
+            accs[k][...] += _dot(p_raw, wk, (((0,), (0,)), ((), ())), bf16)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _rgb_fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
+                        cb_ref, sil_ref, img_ref, occ_s, r_s, g_s, b_s, *,
+                        D, HT, radius, chunk, bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    accs = (occ_s, r_s, g_s, b_s)
+    for a in accs:
+        a[...] = jnp.zeros_like(a)
+    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
+                        cb_ref, sigma, D, HT, radius, chunk,
+                        (ht * HT).astype(jnp.float32), bf16)
+
+    def body(d, carry):
+        trans, img = carry
+        raw = occ_s[pl.ds(d * HT, HT), :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        w = v * trans
+        denom = jnp.maximum(raw, _ONORM_EPS)
+        img = img + jnp.stack([
+            w * r_s[pl.ds(d * HT, HT), :] / denom,
+            w * g_s[pl.ds(d * HT, HT), :] / denom,
+            w * b_s[pl.ds(d * HT, HT), :] / denom])
+        return trans * (1.0 - v), img
+
+    trans, img = jax.lax.fori_loop(
+        0, D, body, (jnp.ones((HT, D), jnp.float32),
+                     jnp.zeros((3, HT, D), jnp.float32)))
+    sil_ref[0] = 1.0 - trans
+    img_ref[0] = img
+
+
+def _run_rgb_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, D, radius, chunk,
+                     bf16):
+    P, N = gz.shape
+    HT = _h_tile_rgb(D)
+    chunk = _chunk_budget(D, HT, chunk, live=2,
+                          reserve=4 * D * HT * D * 4)
+    ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
+    spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                        memory_space=pltpu.VMEM)
+    sil, img = pl.pallas_call(
+        functools.partial(_rgb_fwd_kernel_soa, D=D, HT=HT, radius=radius,
+                          chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 6,
+        out_specs=(
+            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, HT, D), lambda p, h: (p, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((P, D, D), jnp.float32),
+                   jax.ShapeDtypeStruct((P, 3, D, D), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
+                        for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), *ops)
+    return sil, img
+
+
+def _rgb_bwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
+                        cb_ref, gsil_ref, gimg_ref, dgz_ref, dgy_ref,
+                        dgx_ref, dcr_ref, dcg_ref, dcb_ref, occ_s, r_s,
+                        g_s, b_s, t_s, *, D, HT, radius, chunk, bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    inv_s2 = 2.0 * inv2s2
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        for ref in (dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    accs = (occ_s, r_s, g_s, b_s)
+    for a in accs:
+        a[...] = jnp.zeros_like(a)
+    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
+                        cb_ref, sigma, D, HT, radius, chunk, h0, bf16)
+
+    def fwd_sweep(d, trans):
+        t_s[pl.ds(d * HT, HT), :] = trans
+        v = jnp.clip(occ_s[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    jax.lax.fori_loop(0, D, fwd_sweep, jnp.ones((HT, D), jnp.float32))
+    gsil = gsil_ref[0]
+    gimg = gimg_ref[0]
+
+    def rev_sweep(i, dT):
+        d = D - 1 - i
+        sl = pl.ds(d * HT, HT)
+        raw = occ_s[sl, :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        trans = t_s[sl, :]
+        w = v * trans
+        denom = jnp.maximum(raw, _ONORM_EPS)
+        inv_denom = 1.0 / denom
+        o_mask = (raw > _ONORM_EPS).astype(jnp.float32)
+        dw = jnp.zeros_like(w)
+        for k, ref in ((0, r_s), (1, g_s), (2, b_s)):
+            cc = ref[sl, :] * inv_denom
+            dw += gimg[k] * cc
+            ref[sl, :] = gimg[k] * w * inv_denom
+        dv = dw * trans - dT * trans
+        clip_mask = (raw < 1.0 - _EPS).astype(jnp.float32)
+        dO = dv * clip_mask - dw * w * inv_denom * o_mask
+        occ_s[sl, :] = dO
+        return dw * v + dT * (1.0 - v)
+
+    jax.lax.fori_loop(0, D, rev_sweep, -gsil)
+
+    n_chunks = gz_ref.shape[2] // chunk
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        gz = gz_ref[0, 0, sl]
+        gy_full = gy_ref[0, 0, sl]
+        gx = gx_ref[0, 0, sl]
+        gy = gy_full - h0
+        vals = (cr_ref[0, 0, sl], cg_ref[0, 0, sl], cb_ref[0, 0, sl])
+        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, dlzz = _log_norm(gz, inv2s2, radius)
+        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
+        zx, dlzx = _log_norm(gx, inv2s2, radius)
+        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+
+        pd = jnp.zeros((chunk, p_raw.shape[1]), jnp.float32)
+        dwsum = jnp.zeros((chunk,), jnp.float32)
+        dx_term = jnp.zeros((chunk,), jnp.float32)
+        dval_refs = (dcr_ref, dcg_ref, dcb_ref)
+        for k, ref in ((0, occ_s), (1, r_s), (2, g_s), (3, b_s)):
+            cot = ref[...]
+            val = jnp.ones((chunk,), jnp.float32) if k == 0 \
+                else vals[k - 1]
+            d_ww = _dot(p_raw, cot, (((1,), (0,)), ((), ())), bf16)
+            d_p = _dot(ww, cot, (((1,), (1,)), ((), ())), bf16)
+            dws_k = jnp.sum(d_ww * ww, axis=1)
+            pd += val[:, None] * (d_p * p_raw)
+            dwsum += val * dws_k
+            dx_term += val * jnp.sum(d_ww * ww * dxd, axis=1)
+            if k > 0:
+                dval_refs[k - 1][0, 0, sl] += dws_k
+        dgz_ref[0, 0, sl] += (jnp.sum(pd * dzd, axis=1) * inv_s2) \
+            - dlzz * dwsum
+        dgy_ref[0, 0, sl] += (jnp.sum(pd * dyd, axis=1) * inv_s2) \
+            - dlzy * dwsum
+        dgx_ref[0, 0, sl] += (dx_term * inv_s2) - dlzx * dwsum
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _run_rgb_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, gsil, gimg, D, radius,
+                     chunk, bf16):
+    P, N = gz.shape
+    HT = _h_tile_rgb(D)
+    chunk = _chunk_budget(D, HT, chunk, live=20,
+                          reserve=5 * D * HT * D * 4,
+                          budget=56 * 2 ** 20)
+    ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
+    spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((P, 1, N), jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_rgb_bwd_kernel_soa, D=D, HT=HT, radius=radius,
+                          chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 6 + [
+            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, HT, D), lambda p, h: (p, 0, h, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=tuple([spec] * 6),
+        out_shape=tuple([shp] * 6),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
+                        for _ in range(5)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), *ops, gsil, gimg)
+    return tuple(o.reshape(P, N) for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def render_drc_rgb_pallas_soa(gz, gy, gx, cr, cg, cb, sigma,
+                              vox_size: int, radius: int = 13,
+                              chunk: int = 512, bf16: bool = False):
+    """SoA fused RGB render: six (P, N) arrays (coords + colors) ->
+    (sil (P,H,W), img (P,3,H,W)). Differentiable w.r.t. all six; zero
+    cotangent for sigma."""
+    return _run_rgb_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, vox_size,
+                            radius, chunk, bf16)
+
+
+def _rgb_soa_vjp_fwd(gz, gy, gx, cr, cg, cb, sigma, vox_size, radius,
+                     chunk, bf16):
+    out = _run_rgb_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, vox_size,
+                           radius, chunk, bf16)
+    return out, (gz, gy, gx, cr, cg, cb, sigma)
+
+
+def _rgb_soa_vjp_bwd(vox_size, radius, chunk, bf16, res, cts):
+    gz, gy, gx, cr, cg, cb, sigma = res
+    gsil, gimg = cts
+    grads = _run_rgb_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, gsil, gimg,
+                             vox_size, radius, chunk, bf16)
+    return grads + (jnp.zeros_like(sigma),)
+
+
+render_drc_rgb_pallas_soa.defvjp(_rgb_soa_vjp_fwd, _rgb_soa_vjp_bwd)

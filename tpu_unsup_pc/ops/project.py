@@ -127,33 +127,34 @@ def render_silhouettes_fused(points: jnp.ndarray, cams: Camera, sigma,
     leaves VMEM; backward rematerializes in-kernel, so no jax.checkpoint
     needed around this)."""
     from tpu_unsup_pc.ops.pallas.render_kernel import (
-        render_drc_pallas_soa, render_drc_rgb_pallas_batched)
-    from tpu_unsup_pc.ops.pallas.splat_kernel import pad_points
+        render_drc_pallas_soa, render_drc_rgb_pallas_soa)
     D = cfg.vox_size
     radius = static_gauss_radius(max(cfg.sigma_start, cfg.sigma_end))
     sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32),
                              points.shape[:1])
     sigma_k = jnp.sqrt(sigma ** 2 + 1.0 / 6.0)      # hat-variance corr.
+    # SoA everywhere: unstack coordinates (and colors) before the camera
+    # math so no (P, N, 3) intermediate ever feeds the custom call —
+    # TPU layout conversions on a 3-wide lane dim cost ~15ms/step at
+    # training shapes
+    gz, gy, gx = world_to_grid_soa(
+        points[..., 0], points[..., 1], points[..., 2], cams, D,
+        cfg.depth_extent)
+    pad = (-gz.shape[-1]) % cfg.point_chunk
+
+    def pad_c(c, fill):
+        return jnp.pad(c, ((0, 0), (0, pad)), constant_values=fill) \
+            if pad else c
+
+    gz, gy, gx = (pad_c(c, -1e6) for c in (gz, gy, gx))
     if rgb is None:
-        # SoA path: unstack coordinates before the camera math so no
-        # (P, N, 3) intermediate ever feeds the custom call (layout)
-        gz, gy, gx = world_to_grid_soa(
-            points[..., 0], points[..., 1], points[..., 2], cams, D,
-            cfg.depth_extent)
-        pad = (-gz.shape[-1]) % cfg.point_chunk
-        if pad:
-            gz, gy, gx = (jnp.pad(c, ((0, 0), (0, pad)),
-                                  constant_values=-1e6)
-                          for c in (gz, gy, gx))
         sil = render_drc_pallas_soa(gz, gy, gx, sigma_k, D, radius,
                                     cfg.point_chunk, cfg.pallas_bf16)
         return sil, None
-    g = world_to_grid(points, cams, D, cfg.depth_extent)
-    g_pad = pad_points(g, cfg.point_chunk)
-    pad = g_pad.shape[1] - rgb.shape[1]
-    rgb_pad = jnp.pad(rgb, ((0, 0), (0, pad), (0, 0)))
-    sil, img = render_drc_rgb_pallas_batched(g_pad, rgb_pad, sigma_k, D,
-                                             radius, cfg.point_chunk)
+    cr, cg, cb = (pad_c(rgb[..., i], 0.0) for i in range(3))
+    sil, img = render_drc_rgb_pallas_soa(gz, gy, gx, cr, cg, cb, sigma_k,
+                                         D, radius, cfg.point_chunk,
+                                         cfg.pallas_bf16)
     return sil, jnp.moveaxis(img, 1, -1)            # (P, H, W, 3)
 
 
