@@ -1,0 +1,79 @@
+"""Pose-accuracy evaluation for the unknown-pose setting (SURVEY.md §2
+"Prediction / eval"): median angular error and Acc@30 of predicted camera
+rotations.
+
+The pose regressor learns poses relative to an ARBITRARY canonical frame
+(the model invents its own object frame up to a global rotation), so
+absolute quaternion error is meaningless. The frame-invariant metric is the
+RELATIVE rotation between two views of the same object:
+
+    q_rel = q_i * conj(q_j)   — the global canonical rotation cancels.
+
+Every ordered view pair contributes one angle between predicted and GT
+relative rotations.
+
+    python -m tpu_unsup_pc.predict --preset c3_synth --all-views \
+        --ckpt-dir ckpt --out preds.npz
+    python -m tpu_unsup_pc.eval_pose --pred preds.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpu_unsup_pc.ops.quaternion import (quat_angle_between, quat_conjugate,
+                                         quat_from_euler, quat_multiply)
+
+
+def evaluate_pose(pred_pose: np.ndarray, gt_azimuth: np.ndarray,
+                  gt_elevation: np.ndarray) -> dict:
+    """(M, V, 4) predicted quats + (M, V) GT az/el -> relative-pose stats."""
+    M, V = pred_pose.shape[:2]
+    assert V >= 2, "relative-pose eval needs >= 2 views per model"
+    q_pred = jnp.asarray(pred_pose)
+    q_gt = quat_from_euler(jnp.asarray(gt_azimuth),
+                           jnp.asarray(gt_elevation))
+    angles = []
+    for i in range(V):
+        for j in range(i + 1, V):
+            rel_p = quat_multiply(q_pred[:, i],
+                                  quat_conjugate(q_pred[:, j]))
+            rel_g = quat_multiply(q_gt[:, i], quat_conjugate(q_gt[:, j]))
+            angles.append(np.asarray(quat_angle_between(rel_p, rel_g)))
+    ang = np.degrees(np.concatenate(angles))
+    return {"pose_err_median_deg": float(np.median(ang)),
+            "pose_err_mean_deg": float(ang.mean()),
+            "pose_acc_30deg": float((ang < 30.0).mean()),
+            "num_pairs": int(ang.size)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pred", default="preds.npz",
+                   help="npz from predict --all-views (pred_pose + gt az/el)")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    with np.load(args.pred) as z:
+        if "pred_pose" not in z:
+            raise SystemExit("no pred_pose in file — run predict with a "
+                             "predict_pose preset and --all-views")
+        if z["pred_pose"].ndim != 3:
+            raise SystemExit("pred_pose must be (M, V, 4) — rerun predict "
+                             "with --all-views")
+        stats = evaluate_pose(z["pred_pose"], z["gt_azimuth"],
+                              z["gt_elevation"])
+    line = json.dumps(stats)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--dataset", default=None,
                    choices=("synthetic", "shapenet", "tub"))
     p.add_argument("--data-dir", default=None)
+    p.add_argument("--all-views", action="store_true",
+                   help="encode every view (for relative-pose eval), not "
+                        "just view 0")
     return p.parse_args(argv)
 
 
@@ -53,22 +56,26 @@ def main(argv=None):
     print(f"predicting with step-{step} checkpoint")
 
     n = min(args.num_models, len(dataset))
-    preds, poses, rgbs = [], [], []
+    preds, poses, rgbs, azs, els = [], [], [], [], []
     for i in range(0, n, args.batch_size):
         idx = np.arange(i, min(i + args.batch_size, n))
         batch = dataset.get_batch(idx)
-        out = training.predict_step(cfg, state,
-                                    jnp.asarray(batch["image"][:, 0]))
+        images = batch["image"] if args.all_views else batch["image"][:, 0]
+        out = training.predict_step(cfg, state, jnp.asarray(images))
         preds.append(np.asarray(out.cloud.points))
         if out.cloud.rgb is not None:
             rgbs.append(np.asarray(out.cloud.rgb))
         if out.pose is not None:
             poses.append(np.asarray(out.pose.student))
+            azs.append(batch["azimuth"])
+            els.append(batch["elevation"])
     arrays = {"pred_points": np.concatenate(preds)}
     if rgbs:
         arrays["pred_rgb"] = np.concatenate(rgbs)
     if poses:
         arrays["pred_pose"] = np.concatenate(poses)
+        arrays["gt_azimuth"] = np.concatenate(azs)
+        arrays["gt_elevation"] = np.concatenate(els)
     if hasattr(dataset, "gt_points"):
         arrays["gt_points"] = dataset.gt_points[:n]
     np.savez_compressed(args.out, **arrays)
