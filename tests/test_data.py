@@ -24,6 +24,29 @@ def test_synthetic_schema():
     assert 0.02 < frac < 0.8, frac
 
 
+def test_synthetic_shape_sets():
+    """The asym set must produce shapes whose silhouettes identify pose:
+    none of its makers may be 180deg-rotationally symmetric about y.
+    Proxy check: rotating the cloud 180deg about y changes the point set
+    (chamfer-style nearest-neighbor distance is far from zero)."""
+    from tpu_unsup_pc.data.synthetic import _ASYM, _CLASSIC, _SHAPE_SETS
+    assert _SHAPE_SETS["all"] == _CLASSIC + _ASYM
+    rng = np.random.default_rng(0)
+    for mk in _ASYM:
+        p = mk(rng, 1500).astype(np.float32)
+        q = p * np.asarray([[-1.0, 1.0, -1.0]], np.float32)  # R_y(pi)
+        d = np.sqrt(((q[:, None] - p[None]) ** 2).sum(-1)).min(1).mean()
+        assert d > 0.02, (mk.__name__, d)
+    # classic makers are (by design) symmetric under R_y(pi)
+    for mk in _CLASSIC:
+        p = mk(rng, 1500).astype(np.float32)
+        q = p * np.asarray([[-1.0, 1.0, -1.0]], np.float32)
+        d = np.sqrt(((q[:, None] - p[None]) ** 2).sum(-1)).min(1).mean()
+        assert d < 0.05, (mk.__name__, d)
+    ds = SyntheticShapes(CFG.replace(synth_shapes="asym"), num_models=4)
+    assert 0.02 < ds.masks.mean() < 0.8
+
+
 def test_synthetic_deterministic():
     a = SyntheticShapes(CFG, num_models=4, seed=7)
     b = SyntheticShapes(CFG, num_models=4, seed=7)

@@ -97,6 +97,62 @@ def test_pose_loss_selects_min_candidate(rng):
     assert float(metrics["loss_sil"]) <= float(m0["loss_sil"]) + 1e-6
 
 
+def test_exclude_self_view_drops_self_pairs(rng):
+    """With exclude_self_view, corrupting the mask of a SOURCE view's own
+    target slot must leave the known-pose loss unchanged for that pair set
+    only when s==t pairs are the corrupted ones."""
+    cfg = CFG.replace(source_views=1, exclude_self_view=True)
+    model = DPCModel(cfg=cfg)
+    batch = _dummy_batch(cfg, rng)
+    params = model.init(jax.random.PRNGKey(0), batch["image"])["params"]
+    out = model.apply({"params": params}, batch["image"])
+    _, m_ref = compute_loss(cfg, out, batch, 1.0)
+    # corrupt view 0's mask (the self-target of source 0): loss unchanged
+    bad = dict(batch)
+    bad["mask"] = batch["mask"].at[:, 0].set(1.0 - batch["mask"][:, 0])
+    _, m_bad = compute_loss(cfg, out, bad, 1.0)
+    np.testing.assert_allclose(float(m_bad["loss_sil"]),
+                               float(m_ref["loss_sil"]), rtol=1e-6)
+    # whereas WITHOUT the flag the corruption must change the loss
+    cfg_in = cfg.replace(exclude_self_view=False)
+    _, m_in_ref = compute_loss(cfg_in, out, batch, 1.0)
+    _, m_in_bad = compute_loss(cfg_in, out, bad, 1.0)
+    assert abs(float(m_in_bad["loss_sil"]) - float(m_in_ref["loss_sil"])) \
+        > 1e-4
+
+
+def test_pose_teacher_consistent_across_sources(rng):
+    """Candidate selection aggregates over sources: with S=2 sources the
+    selected candidate is identical for every source of a target view, so
+    the teacher loss equals the source-mean loss at one shared argmin."""
+    cfg = CFG.replace(predict_pose=True, pose_candidates=3, source_views=2)
+    model = DPCModel(cfg=cfg)
+    batch = _dummy_batch(cfg, rng)
+    params = model.init(jax.random.PRNGKey(0), batch["image"])["params"]
+    out = model.apply({"params": params}, batch["image"])
+    loss, metrics = compute_loss(cfg, out, batch, 1.0)
+    assert np.isfinite(float(loss))
+    # teacher loss must be >= the min over candidates of the per-pair loss
+    # (shared selection can't beat per-pair selection) and <= any single
+    # fixed candidate's loss
+    pose0 = out.pose._replace(candidates=out.pose.candidates[:, :, :1])
+    _, m0 = compute_loss(cfg.replace(pose_candidates=1),
+                         out._replace(pose=pose0), batch, 1.0)
+    assert float(metrics["loss_sil"]) <= float(m0["loss_sil"]) + 1e-6
+
+
+def test_pose_loss_with_exclude_self_view(rng):
+    cfg = CFG.replace(predict_pose=True, pose_candidates=2, source_views=2,
+                      exclude_self_view=True)
+    model = DPCModel(cfg=cfg)
+    batch = _dummy_batch(cfg, rng)
+    params = model.init(jax.random.PRNGKey(0), batch["image"])["params"]
+    out = model.apply({"params": params}, batch["image"])
+    loss, metrics = compute_loss(cfg, out, batch, 1.0)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(metrics["loss_student"]))
+
+
 def test_train_step_updates_params(rng):
     state = training.init_state(CFG)
     batch = _dummy_batch(CFG, rng)

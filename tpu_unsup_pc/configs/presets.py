@@ -21,11 +21,16 @@ _PRESETS = {
         categories=("02691156", "02958343"), dataset="shapenet",
         image_size=64, vox_size=64, pc_num_points=8000, predict_pose=False,
         batch_size=8),
-    # BASELINE config 3: unknown pose w/ candidate ensemble, chairs
+    # BASELINE config 3: unknown pose w/ candidate ensemble, chairs.
+    # synth_shapes="asym": the classic synthetic shapes are 180deg-
+    # rotationally symmetric, which makes pose unidentifiable from
+    # silhouettes — the _synth twin must train on identifiable shapes
+    # (ShapeNet chairs are; the knob is a no-op for the shapenet dataset).
     "c3_chairs_pose": Config(
         categories=("03001627",), dataset="shapenet", image_size=64,
         vox_size=64, pc_num_points=2000, predict_pose=True,
-        pose_candidates=4, batch_size=8, source_views=2),
+        pose_candidates=4, batch_size=8, source_views=2,
+        synth_shapes="asym"),
     # BASELINE config 4: 128px + sigma annealing, all 13 categories
     "c4_allcat_128": Config(
         categories=_SHAPENET_13, dataset="shapenet", image_size=128,

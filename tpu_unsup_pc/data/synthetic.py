@@ -70,11 +70,62 @@ def _twin_spheres(rng, n):
     return v + np.concatenate([offs, np.zeros((n, 2))], axis=1)
 
 
-_MAKERS = [_sphere, _box, _cylinder, _torus, _twin_spheres]
+# Asymmetric makers: every "classic" shape above is 180-deg rotationally
+# symmetric, which makes camera pose fundamentally ambiguous from silhouette
+# supervision (views at azimuth and azimuth+pi render identically, so the
+# min-loss teacher cannot disambiguate them). The unknown-pose configs
+# (BASELINE config 3) need silhouette-identifiable shapes — like ShapeNet
+# chairs, which are at most bilaterally symmetric.
+def _chair(rng, n):
+    """Seat slab + back panel on one side + four legs: bilaterally symmetric
+    about x only, so its silhouette identifies azimuth."""
+    seat_h = rng.uniform(-0.1, 0.1)
+    n_seat, n_back, n_leg = n // 3, n // 3, n - 2 * (n // 3)
+    seat = np.stack([rng.uniform(-0.4, 0.4, n_seat),
+                     seat_h + rng.uniform(-0.04, 0.04, n_seat),
+                     rng.uniform(-0.4, 0.4, n_seat)], axis=1)
+    back = np.stack([rng.uniform(-0.4, 0.4, n_back),
+                     rng.uniform(seat_h, 0.5, n_back),
+                     rng.uniform(0.34, 0.42, n_back)], axis=1)
+    corners = np.asarray([[-0.34, -0.34], [-0.34, 0.34],
+                          [0.34, -0.34], [0.34, 0.34]])
+    c = corners[rng.integers(0, 4, n_leg)]
+    legs = np.stack([c[:, 0] + rng.uniform(-0.04, 0.04, n_leg),
+                     rng.uniform(-0.5, seat_h, n_leg),
+                     c[:, 1] + rng.uniform(-0.04, 0.04, n_leg)], axis=1)
+    return np.concatenate([seat, back, legs])
 
 
-def _make_cloud(rng, n):
-    pts = _MAKERS[rng.integers(len(_MAKERS))](rng, n)
+def _wedge(rng, n):
+    """Box surface sheared into a ramp: height tapers with z, breaking the
+    front/back silhouette symmetry."""
+    pts = _box(rng, n)
+    taper = rng.uniform(0.15, 0.4)
+    pts[:, 1] *= taper + (1.0 - taper) * (pts[:, 2] + 0.5)
+    return pts
+
+
+def _lopsided(rng, n):
+    """Ellipsoid with a small sphere grafted at a generic (non-axis)
+    direction: no rotational or mirror symmetry at all."""
+    n_bump = n // 4
+    body = _sphere(rng, n - n_bump) * np.asarray([[0.45, 0.35, 0.4]])
+    d = rng.normal(size=3)
+    d[0] = abs(d[0]) + 0.4  # keep the bump direction generic but bounded
+    d = d / np.linalg.norm(d)
+    bump = _sphere(rng, n_bump) * 0.18 + d * 0.38
+    return np.concatenate([body, bump])
+
+
+_CLASSIC = [_sphere, _box, _cylinder, _torus, _twin_spheres]
+_ASYM = [_chair, _wedge, _lopsided]
+_SHAPE_SETS = {"classic": _CLASSIC, "asym": _ASYM,
+               "all": _CLASSIC + _ASYM}
+
+
+def _make_cloud(rng, n, shape_set="classic"):
+    makers = _SHAPE_SETS[shape_set]
+    pts = makers[rng.integers(len(makers))](rng, n)
     scale = rng.uniform(0.45, 0.9, size=(1, 3))      # anisotropic squash
     pts = (pts * scale).astype(np.float32)
     rgb = np.clip(pts + 0.5, 0.0, 1.0).astype(np.float32)  # position color
@@ -118,7 +169,7 @@ class SyntheticShapes:
         seed = ((cfg.seed if seed is None else seed)
                 + zlib.crc32(split.encode()) % 1000)
         rng = np.random.default_rng(seed)
-        clouds, colors = zip(*[_make_cloud(rng, _N_GT)
+        clouds, colors = zip(*[_make_cloud(rng, _N_GT, cfg.synth_shapes)
                                for _ in range(num_models)])
         self.gt_points = np.stack(clouds)                  # (M, N_GT, 3)
         self.gt_rgb = np.stack(colors)

@@ -69,6 +69,23 @@ def _flat(x, lead):
     return jnp.broadcast_to(x, tuple(lead) + tail).reshape((-1,) + tail)
 
 
+def _pair_weights(cfg: Config, S: int, V: int) -> jnp.ndarray:
+    """(S, V) weight per (source, target) projection pair. Sources are the
+    first S of the V views, so pair (s, t=s) projects a cloud back into its
+    own input view; cfg.exclude_self_view drops those pairs (SURVEY §2:
+    'project into >=1 *other* views' — see RECONCILE.md)."""
+    w = jnp.ones((S, V), jnp.float32)
+    if cfg.exclude_self_view:
+        w = w - jnp.eye(S, V, dtype=jnp.float32)
+    return w
+
+
+def _wmean(x, w):
+    """Weighted mean of x over the axes covered by broadcast weights w."""
+    w = jnp.broadcast_to(w, x.shape)
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
                  sigma) -> Tuple[jnp.ndarray, dict]:
     """Total training loss + metrics for one (possibly sharded) batch.
@@ -104,7 +121,8 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
         H, W = sils.shape[-2:]
         sils = sils.reshape(B, S, V, H, W)
         mask_t = batch["mask"][:, None]                     # (B,1,V,H,W)
-        loss_sil = jnp.mean((sils - mask_t) ** 2)
+        pw = _pair_weights(cfg, S, V)[None]                 # (1,S,V)
+        loss_sil = _wmean(jnp.mean((sils - mask_t) ** 2, axis=(-2, -1)), pw)
         metrics = {"loss_sil": loss_sil}
         total = loss_sil
         if rgb is not None:
@@ -112,8 +130,9 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
             img_t = batch["image"][:, None]                 # (B,1,V,H,W,3)
             mask_b = jnp.broadcast_to(mask_t, sils.shape)
             err = jnp.sum((rgb_imgs - img_t) ** 2, axis=-1) * mask_b
-            loss_rgb = (jnp.sum(err)
-                        / jnp.maximum(jnp.sum(mask_b), 1.0))
+            pw_px = pw[..., None, None]                     # (1,S,V,1,1)
+            loss_rgb = (jnp.sum(err * pw_px)
+                        / jnp.maximum(jnp.sum(mask_b * pw_px), 1.0))
             total = total + cfg.rgb_loss_weight * loss_rgb
             metrics["loss_rgb"] = loss_rgb
         metrics["loss"] = total
@@ -153,27 +172,38 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
         # candidate selection uses the combined objective
         pair_losses = sil_pair + cfg.rgb_loss_weight * rgb_pair
 
-    # teacher: min-loss candidate per (b, s, t) pair
-    best_k = jnp.argmin(pair_losses, axis=-1)                # (B,S,V)
-    loss_teacher = jnp.mean(jnp.min(pair_losses, axis=-1))
-    # student -> stop_grad(best candidate); sign-invariant quaternion loss
+    # teacher: min-loss candidate per (b, t) target view, aggregated over
+    # sources — a per-(s,t) argmin can pick DIFFERENT candidates for the
+    # same target view, feeding the student inconsistent targets; the
+    # source-aggregated selection keeps one teacher pose per view
+    pw = _pair_weights(cfg, S, V)                            # (S,V)
+    pw_k = pw[None, :, :, None]                              # (1,S,V,1)
+    src_w = jnp.maximum(jnp.sum(pw, axis=0), 1.0)            # (V,)
+    agg = jnp.sum(pair_losses * pw_k, axis=1) / src_w[None, :, None]
+    best_k = jnp.argmin(agg, axis=-1)                        # (B,V)
+    sel = jnp.take_along_axis(
+        pair_losses, best_k[:, None, :, None], axis=-1)[..., 0]  # (B,S,V)
+    loss_teacher = _wmean(sel, pw[None])
+    # student -> stop_grad(best candidate); sign-invariant quaternion loss.
+    # Views whose every pair is excluded (possible only when S==1 with
+    # exclude_self_view) carry an arbitrary argmin — mask them out.
+    view_w = (jnp.sum(pw, axis=0) > 0).astype(jnp.float32)   # (V,)
     best_q = jnp.take_along_axis(
-        jnp.broadcast_to(cand[:, None], (B, S, V, K, 4)),
-        best_k[..., None, None], axis=3)[..., 0, :]          # (B,S,V,4)
+        cand, best_k[..., None, None], axis=2)[..., 0, :]    # (B,V,4)
     best_q = jax.lax.stop_gradient(best_q)
-    dot = jnp.sum(student[:, None, :, :] * best_q, axis=-1)  # (B,S,V)
-    loss_student = jnp.mean(1.0 - dot ** 2)
+    dot = jnp.sum(student * best_q, axis=-1)                 # (B,V)
+    loss_student = _wmean(1.0 - dot ** 2, view_w[None])
 
     total = loss_teacher + cfg.pose_student_weight * loss_student
     # report per-term losses at the SELECTED candidates so loss_sil means
     # the same thing as in the known-pose branch
-    sel_sil = jnp.take_along_axis(sil_pair, best_k[..., None],
-                                  axis=-1)[..., 0]
+    sel_sil = jnp.take_along_axis(
+        sil_pair, best_k[:, None, :, None], axis=-1)[..., 0]
     metrics = {"loss_teacher": loss_teacher,
-               "loss_sil": jnp.mean(sel_sil),
+               "loss_sil": _wmean(sel_sil, pw[None]),
                "loss_student": loss_student, "loss": total}
     if rgb_pair is not None:
-        sel_rgb = jnp.take_along_axis(rgb_pair, best_k[..., None],
-                                      axis=-1)[..., 0]
-        metrics["loss_rgb"] = jnp.mean(sel_rgb)
+        sel_rgb = jnp.take_along_axis(
+            rgb_pair, best_k[:, None, :, None], axis=-1)[..., 0]
+        metrics["loss_rgb"] = _wmean(sel_rgb, pw[None])
     return total, metrics

@@ -26,6 +26,10 @@ class Config:
     categories: Tuple[str, ...] = ("03001627",)  # shapenet synset ids
     dataset: str = "synthetic"     # "synthetic" | "shapenet"
     data_dir: str = "data/shapenet"
+    # synthetic shape distribution: "classic" (round-1 regression anchors,
+    # all 180deg-rotationally symmetric), "asym" (silhouette-identifiable
+    # pose — required for the unknown-pose configs), "all" (union)
+    synth_shapes: str = "classic"
 
     # ---- model (SURVEY §2: encoder / decoder / pose head) ----
     pc_num_points: int = 2000      # N: 2000 or 8000
@@ -38,6 +42,10 @@ class Config:
     # ---- loss ----
     source_views: int = 0          # clouds decoded from first k views (0=all)
     rgb_loss_weight: float = 1.0   # weight of masked RGB appearance loss
+    # drop (source==target) projection pairs from the loss. SURVEY §2 says
+    # the reference projects into ">=1 *other* views"; the default keeps the
+    # round-1 semantics (self-consistency included) — see RECONCILE.md
+    exclude_self_view: bool = False
 
     # ---- pose (SURVEY §2 "Pose regressor + candidate ensemble") ----
     predict_pose: bool = False     # False => ground-truth pose (configs 1,2,4,5)
@@ -111,6 +119,10 @@ class Config:
                 and self.point_chunk & (self.point_chunk - 1) == 0), (
             f"point_chunk={self.point_chunk} must be a power of two >= 8")
         assert self.splat_mode in ("gauss", "trilinear_blur"), self.splat_mode
+        assert self.synth_shapes in ("classic", "asym", "all")
+        if self.exclude_self_view:
+            assert self.num_views > 1, (
+                "exclude_self_view needs at least one non-self target view")
         assert self.proj_mode in ("drc", "max", "sum"), self.proj_mode
         assert self.sigma_schedule in ("exp", "linear", "const")
         assert self.pc_num_points > 0 and self.num_views >= 1
