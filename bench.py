@@ -31,6 +31,8 @@ def bench_jax(use_pallas: bool = True) -> float:
     import jax.numpy as jnp
     from tpu_unsup_pc.configs import presets
     from tpu_unsup_pc.models.losses import _gt_cameras, _render_pairs
+    from tpu_unsup_pc.ops.project import (fused_render_available,
+                                          render_sse_fused)
 
     cfg = presets.get("c1_synth").replace(use_pallas=use_pallas)
     rng = np.random.default_rng(0)
@@ -46,6 +48,13 @@ def bench_jax(use_pallas: bool = True) -> float:
     def loss_fn(pts):
         # all-pairs multi-view consistency, exactly like compute_loss:
         # every per-view cloud renders into every view -> B*V*V pairs
+        if fused_render_available(cfg, has_rgb=False):
+            # training fast path: fused render+MSE (sil never leaves VMEM)
+            src = jnp.broadcast_to(pts[:, None], (B, V, N, 3))
+            sse = render_sse_fused(
+                src, cams.quat[:, :, None], cams.distance[:, :, None],
+                jnp.full((B, V), SIGMA, jnp.float32), masks, cfg)[..., 0]
+            return jnp.mean(sse) / (cfg.vox_size ** 2)
         P = B * V * V
         pts_f = jnp.broadcast_to(pts[:, None, None], (B, V, V, N, 3)
                                  ).reshape(P, N, 3)

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 from tpu_unsup_pc.configs import presets
 from tpu_unsup_pc.ops.camera import make_camera
 from tpu_unsup_pc.ops.pallas.render_kernel import (
-    render_drc_pallas_batched, render_drc_rgb_pallas_batched)
+    render_drc_mse_pallas_soa, render_drc_pallas_soa,
+    render_drc_rgb_pallas_soa)
 from tpu_unsup_pc.ops.project import project_pointclouds_batched
 from tpu_unsup_pc.ops.splat import splat_gauss_separable
 
@@ -26,15 +27,19 @@ def _ref_sil(g, sigma):
     return 1.0 - jnp.prod(1.0 - v, axis=1)
 
 
+def _soa(g):
+    return g[..., 0], g[..., 1], g[..., 2]
+
+
 def test_fused_sil_fwd_bwd(rng):
     g = jnp.asarray(rng.uniform(-1, D, size=(P, N, 3)).astype(np.float32))
     sigma = jnp.asarray([1.0, 1.6, 0.8], jnp.float32)
-    sil = render_drc_pallas_batched(g, sigma, D, RADIUS, CHUNK)
+    sil = render_drc_pallas_soa(*_soa(g), sigma, D, RADIUS, CHUNK)
     np.testing.assert_allclose(np.asarray(sil),
                                np.asarray(_ref_sil(g, sigma)), atol=1e-5)
     tgt = jnp.asarray(rng.normal(size=(P, D, D)).astype(np.float32))
     gk = jax.grad(lambda x: jnp.sum(
-        render_drc_pallas_batched(x, sigma, D, RADIUS, CHUNK) * tgt))(g)
+        render_drc_pallas_soa(*_soa(x), sigma, D, RADIUS, CHUNK) * tgt))(g)
     gr = jax.grad(lambda x: jnp.sum(_ref_sil(x, sigma) * tgt))(g)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
 
@@ -45,12 +50,42 @@ def test_fused_sil_h_tiled(rng):
     g = jnp.asarray(rng.uniform(20, Dg - 20, size=(1, 64, 3))
                     .astype(np.float32))
     sigma = jnp.asarray([1.5], jnp.float32)
-    sil = render_drc_pallas_batched(g, sigma, Dg, RADIUS, 32)
+    sil = render_drc_pallas_soa(*_soa(g), sigma, Dg, RADIUS, 32)
     occ = splat_gauss_separable(g[0], Dg, 1.5, radius=RADIUS, chunk=32,
                                 hat_correction=False)
     ref = 1.0 - jnp.prod(1.0 - jnp.clip(occ, 0, 1 - 1e-6), axis=0)
     np.testing.assert_allclose(np.asarray(sil[0]), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_fused_mse_fwd_bwd(rng):
+    """Fused render+MSE == unfused render followed by squared error, values
+    AND gradients, including the mask-dedup index_map (S=2, K=2 pairs per
+    target view share one mask block) and the in-kernel MSE seed."""
+    B, S, V, K = 2, 2, 3, 2
+    Pn = B * S * V * K
+    g = jnp.asarray(rng.uniform(-1, D, size=(Pn, N, 3)).astype(np.float32))
+    sigma = jnp.asarray(rng.uniform(0.8, 1.6, size=(Pn,))
+                        .astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(B * V, D, D)) > 0.5)
+                        .astype(np.float32))
+
+    def ref_sse(x):
+        sil = _ref_sil(x, sigma)                      # (P, H, W)
+        m = masks.reshape(B, 1, V, 1, D, D)
+        m = jnp.broadcast_to(m, (B, S, V, K, D, D)).reshape(Pn, D, D)
+        return jnp.sum((sil - m) ** 2, axis=(-2, -1))
+
+    sse_k = render_drc_mse_pallas_soa(*_soa(g), sigma, masks,
+                                      (B, S, V, K), D, RADIUS, CHUNK)
+    np.testing.assert_allclose(np.asarray(sse_k), np.asarray(ref_sse(g)),
+                               rtol=1e-4, atol=1e-4)
+    # weighted sum -> per-pair cotangents differ, exercising the seed
+    w = jnp.asarray(rng.uniform(0.1, 2.0, size=(Pn,)).astype(np.float32))
+    gk = jax.grad(lambda x: jnp.sum(render_drc_mse_pallas_soa(
+        *_soa(x), sigma, masks, (B, S, V, K), D, RADIUS, CHUNK) * w))(g)
+    gr = jax.grad(lambda x: jnp.sum(ref_sse(x) * w))(g)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
 
 
 def _ref_rgb(cfg, pts, rgb, cams, sigma):
@@ -107,8 +142,55 @@ def test_fused_soa_matches_projector(rng):
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
 
 
+def test_fused_loss_matches_unfused(rng, monkeypatch):
+    """compute_loss through the fused render+MSE kernel == the unfused
+    projector path, loss values and gradients, known-pose AND pose-ensemble
+    branches (fused path forced on off-TPU via the availability gate)."""
+    import tpu_unsup_pc.models.losses as L
+    from tpu_unsup_pc.models.model import DPCModel
+
+    cfg0 = presets.get("tiny").replace(vox_size=16, image_size=16,
+                                       point_chunk=32, use_pallas=True,
+                                       source_views=1, num_views=2,
+                                       pc_num_points=64,
+                                       enc_channels=(4, 8), fc_dims=(32,),
+                                       latent_dim=32)
+    for pose in (False, True):
+        cfg = cfg0.replace(predict_pose=pose, pose_candidates=2)
+        model = DPCModel(cfg=cfg)
+        B, V, H = 2, cfg.num_views, cfg.image_size
+        batch = {
+            "image": jnp.asarray(rng.uniform(size=(B, V, H, H, 3)),
+                                 jnp.float32),
+            "mask": jnp.asarray(rng.uniform(size=(B, V, H, H)) > 0.5,
+                                jnp.float32),
+            "azimuth": jnp.asarray(rng.uniform(0, 6.28, size=(B, V)),
+                                   jnp.float32),
+            "elevation": jnp.asarray(rng.uniform(-0.3, 0.9, size=(B, V)),
+                                     jnp.float32),
+        }
+        params = model.init(jax.random.PRNGKey(0), batch["image"])["params"]
+
+        def loss_of(params, fused):
+            monkeypatch.setattr(L, "fused_render_available",
+                                lambda c, has_rgb: fused)
+            out = model.apply({"params": params}, batch["image"])
+            return L.compute_loss(cfg, out, batch, 1.2)[0]
+
+        lf = float(loss_of(params, True))
+        lu = float(loss_of(params, False))
+        np.testing.assert_allclose(lf, lu, rtol=1e-5)
+        if pose:  # grad check on the branch with nontrivial cotangent
+            # routing (argmin + take_along_axis over the fused pair SSE)
+            gf = jax.grad(lambda p: loss_of(p, True))(params)
+            gu = jax.grad(lambda p: loss_of(p, False))(params)
+            for a, b in zip(jax.tree_util.tree_leaves(gf),
+                            jax.tree_util.tree_leaves(gu)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=2e-4)
+
+
 def test_fused_rgb_grads(rng):
-    from tpu_unsup_pc.ops.pallas.splat_kernel import pad_points
     g = jnp.asarray(rng.uniform(2, D - 3, size=(1, 64, 3))
                     .astype(np.float32))
     rgb = jnp.asarray(rng.uniform(size=(1, 64, 3)).astype(np.float32))
@@ -117,8 +199,8 @@ def test_fused_rgb_grads(rng):
     tgt_i = jnp.asarray(rng.normal(size=(1, 3, D, D)).astype(np.float32))
 
     def loss_k(gg, cc):
-        sil, img = render_drc_rgb_pallas_batched(gg, cc, sigma, D, RADIUS,
-                                                 CHUNK)
+        sil, img = render_drc_rgb_pallas_soa(*_soa(gg), *_soa(cc), sigma,
+                                             D, RADIUS, CHUNK)
         return jnp.sum(sil * tgt_s) + jnp.sum(img * tgt_i)
 
     def loss_r(gg, cc):

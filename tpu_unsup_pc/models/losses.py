@@ -26,7 +26,8 @@ from tpu_unsup_pc.models.model import ModelOutput
 from tpu_unsup_pc.ops.camera import Camera
 from tpu_unsup_pc.ops.project import (fused_render_available,
                                       project_pointclouds_batched,
-                                      render_silhouettes_fused)
+                                      render_silhouettes_fused,
+                                      render_sse_fused)
 from tpu_unsup_pc.ops.quaternion import quat_from_euler
 from tpu_unsup_pc.utils.config import Config
 
@@ -108,8 +109,21 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
     else:
         sigma_src = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (B, S))
 
+    fuse_mse = rgb is None and fused_render_available(cfg, has_rgb=False)
+
     if not cfg.predict_pose:
         cams = _gt_cameras(cfg, batch)                      # fields (B,V)
+        pw = _pair_weights(cfg, S, V)[None]                 # (1,S,V)
+        if fuse_mse:
+            # fused render+MSE kernel: silhouettes never leave VMEM
+            sse = render_sse_fused(points, cams.quat[:, :, None],
+                                   cams.distance[:, :, None], sigma_src,
+                                   batch["mask"], cfg)[..., 0]  # (B,S,V)
+            H = W = cfg.vox_size
+            loss_sil = _wmean(sse / (H * W), pw)
+            metrics = {"loss_sil": loss_sil}
+            metrics["loss"] = loss_sil
+            return loss_sil, metrics
         shape = (B, S, V)
         pts_f = _flat(points[:, :, None], shape)            # (BSV, N, 3)
         rgb_f = _flat(rgb[:, :, None], shape) if rgb is not None else None
@@ -121,7 +135,6 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
         H, W = sils.shape[-2:]
         sils = sils.reshape(B, S, V, H, W)
         mask_t = batch["mask"][:, None]                     # (B,1,V,H,W)
-        pw = _pair_weights(cfg, S, V)[None]                 # (1,S,V)
         loss_sil = _wmean(jnp.mean((sils - mask_t) ** 2, axis=(-2, -1)), pw)
         metrics = {"loss_sil": loss_sil}
         total = loss_sil
@@ -148,18 +161,26 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
     else:
         dist = jnp.full((B, V, K), cfg.camera_distance, jnp.float32)
 
-    shape = (B, S, V, K)
-    pts_f = _flat(points[:, :, None, None], shape)
-    rgb_f = _flat(rgb[:, :, None, None], shape) if rgb is not None else None
-    sig_f = _flat(sigma_src[:, :, None, None], shape)
-    quat_f = _flat(cand[:, None], shape)
-    dist_f = _flat(dist[:, None], shape)
-    sils, rgb_imgs = _render_pairs(cfg, pts_f, rgb_f, sig_f, quat_f, dist_f)
-    H, W = sils.shape[-2:]
-    sils = sils.reshape(B, S, V, K, H, W)
-    mask_t = batch["mask"][:, None, :, None]                 # (B,1,V,1,H,W)
-    sil_pair = jnp.mean((sils - mask_t) ** 2, axis=(-2, -1))  # (B,S,V,K)
-    pair_losses = sil_pair
+    if fuse_mse:
+        sse = render_sse_fused(points, cand, dist, sigma_src,
+                               batch["mask"], cfg)           # (B,S,V,K)
+        H = W = cfg.vox_size
+        sil_pair = sse / (H * W)
+    else:
+        shape = (B, S, V, K)
+        pts_f = _flat(points[:, :, None, None], shape)
+        rgb_f = _flat(rgb[:, :, None, None], shape) \
+            if rgb is not None else None
+        sig_f = _flat(sigma_src[:, :, None, None], shape)
+        quat_f = _flat(cand[:, None], shape)
+        dist_f = _flat(dist[:, None], shape)
+        sils, rgb_imgs = _render_pairs(cfg, pts_f, rgb_f, sig_f, quat_f,
+                                       dist_f)
+        H, W = sils.shape[-2:]
+        sils = sils.reshape(B, S, V, K, H, W)
+        mask_t = batch["mask"][:, None, :, None]             # (B,1,V,1,H,W)
+        sil_pair = jnp.mean((sils - mask_t) ** 2, axis=(-2, -1))
+    pair_losses = sil_pair                                   # (B,S,V,K)
 
     rgb_pair = None
     if rgb is not None:

@@ -77,205 +77,18 @@ def _chunk_budget(D: int, HT: int, chunk: int, live: int,
     return max(c, 8)
 
 
-def _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk, h0,
-                bf16=False):
-    """fori over point-chunks: acc_ref (D*HT, W) += splat of every chunk.
-    h0 = first image row of this tile."""
-    inv2s2 = 0.5 / (sigma * sigma)
-    n_chunks = g_ref.shape[1] // chunk
-
-    def body(c, _):
-        g = g_ref[0, pl.ds(c * chunk, chunk), :]
-        gz, gy, gx = g[:, 0], g[:, 1] - h0, g[:, 2]
-        p_raw, _, _ = _pair_weight(gz, gy, inv2s2, D, HT)
-        zz, _ = _log_norm(gz, inv2s2, radius)
-        zy, _ = _log_norm(gy, inv2s2, radius)
-        zx, _ = _log_norm(gx, inv2s2, radius)
-        ww_raw, _ = _axis_weight(gx, inv2s2, D)
-        ww = ww_raw / (zz * zy * zx)[:, None]
-        acc_ref[...] += _dot(p_raw, ww, (((0,), (0,)), ((), ())), bf16)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, body, 0)
-
-
-def _fwd_kernel(sigma_ref, g_ref, sil_ref, acc_ref, *, D, HT, radius,
-                chunk, bf16=False):
-    p = pl.program_id(0)
-    ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk,
-                (ht * HT).astype(jnp.float32), bf16)
-
-    def collapse(d, trans):
-        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
-        return trans * (1.0 - v)
-
-    trans = jax.lax.fori_loop(0, D, collapse,
-                              jnp.ones((HT, D), jnp.float32))
-    sil_ref[0] = 1.0 - trans
-
-
-def _run_fwd(g, sigma, D, radius, chunk, bf16=False):
-    P, N, _ = g.shape
-    HT = _h_tile(D)
-    chunk = _chunk_budget(D, HT, chunk, live=2, reserve=D * HT * D * 4)
-    sil = pl.pallas_call(
-        functools.partial(_fwd_kernel, D=D, HT=HT, radius=radius,
-                          chunk=chunk, bf16=bf16),
-        grid=(P, D // HT),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, D, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=64 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * P * N * D * D * D,
-            bytes_accessed=P * (N * 12 + D * D * 4),
-            transcendentals=P * N * (D * D + D)),
-        interpret=_interpret(),
-    )(sigma.reshape(P, 1), g)
-    return sil
-
-
-def _bwd_kernel(sigma_ref, g_ref, gsil_ref, dg_ref, acc_ref, cot_ref, *,
-                D, HT, radius, chunk, bf16=False):
-    p = pl.program_id(0)
-    ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
-    inv2s2 = 0.5 / (sigma * sigma)
-    inv_s2 = 2.0 * inv2s2
-    h0 = (ht * HT).astype(jnp.float32)
-
-    @pl.when(ht == 0)
-    def _():
-        dg_ref[...] = jnp.zeros_like(dg_ref)
-
-    # 1) recompute this H-tile's grid block
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk, h0, bf16)
-
-    # 2) collapse cotangent: dL/dv = gsil * T_total / (1 - v), masked at
-    #    the clip boundary; T_total from one depth loop.
-    def collapse(d, trans):
-        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
-        return trans * (1.0 - v)
-
-    trans = jax.lax.fori_loop(0, D, collapse,
-                              jnp.ones((HT, D), jnp.float32))
-    gt = gsil_ref[0] * trans                             # (HT, W)
-
-    def fill_cot(d, _):
-        raw = acc_ref[pl.ds(d * HT, HT), :]
-        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
-        mask = (raw < 1.0 - _EPS).astype(jnp.float32)
-        cot_ref[pl.ds(d * HT, HT), :] = gt / (1.0 - v) * mask
-        return 0
-
-    jax.lax.fori_loop(0, D, fill_cot, 0)
-
-    # 3) splat backward per chunk against the in-VMEM cotangent
-    n_chunks = g_ref.shape[1] // chunk
-
-    def body(c, _):
-        g = g_ref[0, pl.ds(c * chunk, chunk), :]
-        gz, gy_full, gx = g[:, 0], g[:, 1], g[:, 2]
-        gy = gy_full - h0
-        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
-        zz, dlzz = _log_norm(gz, inv2s2, radius)
-        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
-        zx, dlzx = _log_norm(gx, inv2s2, radius)
-        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
-        ww = ww_raw / (zz * zy * zx)[:, None]
-        gout = cot_ref[...]                              # (D*HT, W)
-        d_ww = _dot(p_raw, gout, (((1,), (0,)), ((), ())), bf16)
-        d_p = _dot(ww, gout, (((1,), (1,)), ((), ())), bf16)
-        pd = d_p * p_raw
-        dwsum = jnp.sum(d_ww * ww, axis=1)
-        dgz = (jnp.sum(pd * dzd, axis=1) * inv_s2) - dlzz * dwsum
-        dgy = (jnp.sum(pd * dyd, axis=1) * inv_s2) - dlzy * dwsum
-        dgx = (jnp.sum(d_ww * ww * dxd, axis=1) * inv_s2) - dlzx * dwsum
-        dg_ref[0, pl.ds(c * chunk, chunk), :] += jnp.stack(
-            [dgz, dgy, dgx], axis=-1)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, body, 0)
-
-
-def _run_bwd(g, sigma, gsil, D, radius, chunk, bf16=False):
-    P, N, _ = g.shape
-    HT = _h_tile(D)
-    chunk = _chunk_budget(D, HT, chunk, live=4,
-                          reserve=2 * D * HT * D * 4)
-    dg = pl.pallas_call(
-        functools.partial(_bwd_kernel, D=D, HT=HT, radius=radius,
-                          chunk=chunk, bf16=bf16),
-        grid=(P, D // HT),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, N, 3), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32),
-                        pltpu.VMEM((D * HT, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=_interpret(),
-    )(sigma.reshape(P, 1), g, gsil)
-    return dg
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def render_drc_pallas_batched(grid_coords: jnp.ndarray, sigma: jnp.ndarray,
-                              vox_size: int, radius: int = 13,
-                              chunk: int = 512,
-                              bf16: bool = False) -> jnp.ndarray:
-    """Fused batched render: (P, N, 3) grid coords (+ (P,) sigmas) ->
-    (P, H, W) DRC silhouettes. The D^3 grid exists only in VMEM. N must be
-    a chunk multiple (use splat_kernel.pad_points). Differentiable w.r.t.
-    grid_coords; zero cotangent for sigma."""
-    return _run_fwd(grid_coords, sigma, vox_size, radius, chunk, bf16)
-
-
-def _vjp_fwd(grid_coords, sigma, vox_size, radius, chunk, bf16=False):
-    return _run_fwd(grid_coords, sigma, vox_size, radius, chunk, bf16), \
-        (grid_coords, sigma)
-
-
-def _vjp_bwd(vox_size, radius, chunk, bf16, res, gsil):
-    grid_coords, sigma = res
-    dg = _run_bwd(grid_coords, sigma, gsil, vox_size, radius, chunk, bf16)
-    return dg, jnp.zeros_like(sigma)
-
-
-render_drc_pallas_batched.defvjp(_vjp_fwd, _vjp_bwd)
-
-
-# ===================================================================
-# RGB variant: fused splat -> DRC expected-color compositing
-# (BASELINE config 5). Four channels (occupancy + r,g,b) accumulate in
-# four VMEM scratch grids; the collapse composites
-#   img_c = sum_d w_d * C_c[d]/max(O[d],eps),  w_d = v_d * prod_{d'<d}(1-v_d')
-# in one depth loop. The backward recomputes the grids, runs a reverse
-# depth sweep that overwrites the grid scratch with the (dO, dC) cotangents
-# in place (T_d stored forward in a fifth scratch), then the usual
-# separable splat backward — per chunk, 8 matmuls (4 channels x 2) produce
-# d(grid_coords) and d(rgb) (= the channel dwsums) exactly.
-# ===================================================================
+# DELETED VARIANTS (measured, rejected — do not re-add; numbers kept so
+# the experiments aren't redone):
+#   * AoS (P, N, 3) batched kernels `render_drc_pallas_batched` /
+#     `render_drc_rgb_pallas_batched`: superseded by the SoA entry points
+#     below — feeding a (P, N, 3) operand to the custom call forces XLA
+#     layout conversions on a 3-wide lane dim (97% padding), measured
+#     ~15ms/step at training shapes.
+#   * Store-don't-recompute VJP (forward also writes the voxel grid to
+#     HBM; backward reads it back instead of re-splatting): measured on
+#     v5e-1 fwd+bwd 3.91ms/9.55ms (40x2k@64^3 / 6x8k@128^3) vs recompute
+#     4.06ms/7.41ms — ties at 64^3, loses at 128^3 (the forward's grid
+#     writes stall its pipeline more than the backward's re-splat costs).
 
 _ONORM_EPS = 1e-6
 
@@ -288,433 +101,6 @@ def _h_tile_rgb(D: int) -> int:
     return 32 if D <= 64 else 16
 
 
-def _accumulate_rgb(accs, g_ref, rgb_ref, sigma, D, HT, radius, chunk, h0):
-    """accs: tuple of 4 (D*HT, W) scratch refs (occ, r, g, b)."""
-    inv2s2 = 0.5 / (sigma * sigma)
-    n_chunks = g_ref.shape[1] // chunk
-
-    def body(c, _):
-        g = g_ref[0, pl.ds(c * chunk, chunk), :]
-        vals = rgb_ref[0, pl.ds(c * chunk, chunk), :]
-        gz, gy, gx = g[:, 0], g[:, 1] - h0, g[:, 2]
-        p_raw, _, _ = _pair_weight(gz, gy, inv2s2, D, HT)
-        zz, _ = _log_norm(gz, inv2s2, radius)
-        zy, _ = _log_norm(gy, inv2s2, radius)
-        zx, _ = _log_norm(gx, inv2s2, radius)
-        ww_raw, _ = _axis_weight(gx, inv2s2, D)
-        ww = ww_raw / (zz * zy * zx)[:, None]
-        for k in range(4):
-            wk = ww if k == 0 else ww * vals[:, k - 1][:, None]
-            accs[k][...] += jax.lax.dot_general(
-                p_raw, wk, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, body, 0)
-
-
-def _rgb_fwd_kernel(sigma_ref, g_ref, rgb_ref, sil_ref, img_ref,
-                    occ_s, r_s, g_s, b_s, *, D, HT, radius, chunk):
-    p = pl.program_id(0)
-    ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
-    accs = (occ_s, r_s, g_s, b_s)
-    for a in accs:
-        a[...] = jnp.zeros_like(a)
-    _accumulate_rgb(accs, g_ref, rgb_ref, sigma, D, HT, radius, chunk,
-                    (ht * HT).astype(jnp.float32))
-
-    def body(d, carry):
-        trans, img = carry                       # (HT, W), (3, HT, W)
-        raw = occ_s[pl.ds(d * HT, HT), :]
-        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
-        w = v * trans
-        denom = jnp.maximum(raw, _ONORM_EPS)
-        img = img + jnp.stack([
-            w * r_s[pl.ds(d * HT, HT), :] / denom,
-            w * g_s[pl.ds(d * HT, HT), :] / denom,
-            w * b_s[pl.ds(d * HT, HT), :] / denom])
-        return trans * (1.0 - v), img
-
-    trans, img = jax.lax.fori_loop(
-        0, D, body, (jnp.ones((HT, D), jnp.float32),
-                     jnp.zeros((3, HT, D), jnp.float32)))
-    sil_ref[0] = 1.0 - trans
-    img_ref[0] = img
-
-
-def _run_rgb_fwd(g, rgb, sigma, D, radius, chunk):
-    P, N, _ = g.shape
-    HT = _h_tile_rgb(D)
-    chunk = _chunk_budget(D, HT, chunk, live=2,
-                          reserve=4 * D * HT * D * 4)
-    sil, img = pl.pallas_call(
-        functools.partial(_rgb_fwd_kernel, D=D, HT=HT, radius=radius,
-                          chunk=chunk),
-        grid=(P, D // HT),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, HT, D), lambda p, h: (p, 0, h, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(jax.ShapeDtypeStruct((P, D, D), jnp.float32),
-                   jax.ShapeDtypeStruct((P, 3, D, D), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
-                        for _ in range(4)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=_interpret(),
-    )(sigma.reshape(P, 1), g, rgb)
-    return sil, img
-
-
-def _rgb_bwd_kernel(sigma_ref, g_ref, rgb_ref, gsil_ref, gimg_ref,
-                    dg_ref, drgb_ref, occ_s, r_s, g_s, b_s, t_s, *,
-                    D, HT, radius, chunk):
-    p = pl.program_id(0)
-    ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
-    inv2s2 = 0.5 / (sigma * sigma)
-    inv_s2 = 2.0 * inv2s2
-    h0 = (ht * HT).astype(jnp.float32)
-
-    @pl.when(ht == 0)
-    def _():
-        dg_ref[...] = jnp.zeros_like(dg_ref)
-        drgb_ref[...] = jnp.zeros_like(drgb_ref)
-
-    accs = (occ_s, r_s, g_s, b_s)
-    for a in accs:
-        a[...] = jnp.zeros_like(a)
-    _accumulate_rgb(accs, g_ref, rgb_ref, sigma, D, HT, radius, chunk, h0)
-
-    # forward sweep: store T_before(d) per depth
-    def fwd_sweep(d, trans):
-        t_s[pl.ds(d * HT, HT), :] = trans
-        v = jnp.clip(occ_s[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
-        return trans * (1.0 - v)
-
-    t_final = jax.lax.fori_loop(0, D, fwd_sweep,
-                                jnp.ones((HT, D), jnp.float32))
-    del t_final
-    gsil = gsil_ref[0]
-    gimg = gimg_ref[0]                              # (3, HT, W)
-
-    # reverse sweep: overwrite occ_s/r_s/g_s/b_s rows with dO/dC in place
-    def rev_sweep(i, dT):
-        d = D - 1 - i
-        sl = pl.ds(d * HT, HT)
-        raw = occ_s[sl, :]
-        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
-        trans = t_s[sl, :]
-        w = v * trans
-        denom = jnp.maximum(raw, _ONORM_EPS)
-        inv_denom = 1.0 / denom
-        o_mask = (raw > _ONORM_EPS).astype(jnp.float32)
-        dw = jnp.zeros_like(w)
-        for k, ref in ((0, r_s), (1, g_s), (2, b_s)):
-            cc = ref[sl, :] * inv_denom
-            dw += gimg[k] * cc
-            ref[sl, :] = gimg[k] * w * inv_denom    # dC_k in place
-        dv = dw * trans - dT * trans                # dT_{d+1} via (1-v): -T_d
-        clip_mask = (raw < 1.0 - _EPS).astype(jnp.float32)
-        dO = dv * clip_mask - dw * w * inv_denom * o_mask
-        occ_s[sl, :] = dO                           # dO in place
-        dT_prev = dw * v + dT * (1.0 - v)
-        return dT_prev
-
-    jax.lax.fori_loop(0, D, rev_sweep, -gsil)
-
-    # splat backward against the in-place cotangents
-    n_chunks = g_ref.shape[1] // chunk
-
-    def body(c, _):
-        g = g_ref[0, pl.ds(c * chunk, chunk), :]
-        vals = rgb_ref[0, pl.ds(c * chunk, chunk), :]
-        gz, gy_full, gx = g[:, 0], g[:, 1], g[:, 2]
-        gy = gy_full - h0
-        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
-        zz, dlzz = _log_norm(gz, inv2s2, radius)
-        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
-        zx, dlzx = _log_norm(gx, inv2s2, radius)
-        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
-        ww = ww_raw / (zz * zy * zx)[:, None]
-
-        pd = jnp.zeros((chunk, p_raw.shape[1]), jnp.float32)
-        dwsum = jnp.zeros((chunk,), jnp.float32)
-        dx_term = jnp.zeros((chunk,), jnp.float32)
-        dvals = []
-        for k, ref in ((0, occ_s), (1, r_s), (2, g_s), (3, b_s)):
-            cot = ref[...]
-            val = jnp.ones((chunk,), jnp.float32) if k == 0 \
-                else vals[:, k - 1]
-            d_ww = jax.lax.dot_general(p_raw, cot, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-            d_p = jax.lax.dot_general(ww, cot, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            dws_k = jnp.sum(d_ww * ww, axis=1)       # = dval for k>0
-            pd += val[:, None] * (d_p * p_raw)
-            dwsum += val * dws_k
-            dx_term += val * jnp.sum(d_ww * ww * dxd, axis=1)
-            if k > 0:
-                dvals.append(dws_k)
-        dgz = (jnp.sum(pd * dzd, axis=1) * inv_s2) - dlzz * dwsum
-        dgy = (jnp.sum(pd * dyd, axis=1) * inv_s2) - dlzy * dwsum
-        dgx = (dx_term * inv_s2) - dlzx * dwsum
-        dg_ref[0, pl.ds(c * chunk, chunk), :] += jnp.stack(
-            [dgz, dgy, dgx], axis=-1)
-        drgb_ref[0, pl.ds(c * chunk, chunk), :] += jnp.stack(dvals, axis=-1)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, body, 0)
-
-
-def _run_rgb_bwd(g, rgb, sigma, gsil, gimg, D, radius, chunk):
-    P, N, _ = g.shape
-    HT = _h_tile_rgb(D)
-    # the unrolled 4-channel loop keeps many (chunk, D*HT) buffers live
-    # (p_raw, dzd, dyd, pd, per-channel d_p/d_ww temporaries — Mosaic's
-    # liveness is conservative here; measured ~19MB at a live=10 model).
-    # This kernel raises vmem_limit_bytes to 64MB, so budget against that.
-    chunk = _chunk_budget(D, HT, chunk, live=20,
-                          reserve=5 * D * HT * D * 4,
-                          budget=56 * 2 ** 20)
-    dg, drgb = pl.pallas_call(
-        functools.partial(_rgb_bwd_kernel, D=D, HT=HT, radius=radius,
-                          chunk=chunk),
-        grid=(P, D // HT),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, HT, D), lambda p, h: (p, 0, h, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(jax.ShapeDtypeStruct((P, N, 3), jnp.float32),
-                   jax.ShapeDtypeStruct((P, N, 3), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
-                        for _ in range(5)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=_interpret(),
-    )(sigma.reshape(P, 1), g, rgb, gsil, gimg)
-    return dg, drgb
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def render_drc_rgb_pallas_batched(grid_coords: jnp.ndarray,
-                                  rgb: jnp.ndarray, sigma: jnp.ndarray,
-                                  vox_size: int, radius: int = 13,
-                                  chunk: int = 512):
-    """Fused batched RGB render: (P,N,3) coords + (P,N,3) colors ->
-    (sil (P,H,W), img (P,3,H,W)). Differentiable w.r.t. coords and colors;
-    zero cotangent for sigma. N must be a chunk multiple (pad coords with
-    pad_points and rgb with zeros)."""
-    return _run_rgb_fwd(grid_coords, rgb, sigma, vox_size, radius, chunk)
-
-
-def _rgb_vjp_fwd(grid_coords, rgb, sigma, vox_size, radius, chunk):
-    out = _run_rgb_fwd(grid_coords, rgb, sigma, vox_size, radius, chunk)
-    return out, (grid_coords, rgb, sigma)
-
-
-def _rgb_vjp_bwd(vox_size, radius, chunk, res, cts):
-    grid_coords, rgb, sigma = res
-    gsil, gimg = cts
-    dg, drgb = _run_rgb_bwd(grid_coords, rgb, sigma, gsil, gimg,
-                            vox_size, radius, chunk)
-    return dg, drgb, jnp.zeros_like(sigma)
-
-
-render_drc_rgb_pallas_batched.defvjp(_rgb_vjp_fwd, _rgb_vjp_bwd)
-
-
-# ===================================================================
-# Store-don't-recompute VJP for the silhouette render: the forward (when
-# called under grad) also writes the voxel grid to HBM; the backward reads
-# it back instead of re-splatting. HBM round trip ~ P*D^3*8B at ~0.8TB/s
-# vs re-running the accumulate loop (~40% of the old backward). The
-# pure-inference path (no grad) still uses the grid-free forward.
-# ===================================================================
-
-def _fwd_kernel_store(sigma_ref, g_ref, sil_ref, grid_ref, acc_ref, *,
-                      D, HT, radius, chunk):
-    p = pl.program_id(0)
-    ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    _accumulate(acc_ref, g_ref, sigma, D, HT, radius, chunk,
-                (ht * HT).astype(jnp.float32))
-
-    def collapse(d, trans):
-        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
-        return trans * (1.0 - v)
-
-    trans = jax.lax.fori_loop(0, D, collapse,
-                              jnp.ones((HT, D), jnp.float32))
-    sil_ref[0] = 1.0 - trans
-    grid_ref[0] = acc_ref[...].reshape(D, HT, D)
-
-
-def _run_fwd_store(g, sigma, D, radius, chunk):
-    P, N, _ = g.shape
-    HT = _h_tile(D)
-    chunk = _chunk_budget(D, HT, chunk, live=2, reserve=D * HT * D * 4)
-    sil, grid = pl.pallas_call(
-        functools.partial(_fwd_kernel_store, D=D, HT=HT, radius=radius,
-                          chunk=chunk),
-        grid=(P, D // HT),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, HT, D), lambda p, h: (p, 0, h, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(jax.ShapeDtypeStruct((P, D, D), jnp.float32),
-                   jax.ShapeDtypeStruct((P, D, D, D), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=_interpret(),
-    )(sigma.reshape(P, 1), g)
-    return sil, grid
-
-
-def _bwd_kernel_stored(sigma_ref, g_ref, grid_ref, gsil_ref, dg_ref,
-                       cot_ref, *, D, HT, radius, chunk):
-    p = pl.program_id(0)
-    ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
-    inv2s2 = 0.5 / (sigma * sigma)
-    inv_s2 = 2.0 * inv2s2
-    h0 = (ht * HT).astype(jnp.float32)
-
-    @pl.when(ht == 0)
-    def _():
-        dg_ref[...] = jnp.zeros_like(dg_ref)
-
-    def collapse(d, trans):
-        v = jnp.clip(grid_ref[0, d], 0.0, 1.0 - _EPS)
-        return trans * (1.0 - v)
-
-    trans = jax.lax.fori_loop(0, D, collapse,
-                              jnp.ones((HT, D), jnp.float32))
-    gt = gsil_ref[0] * trans
-
-    def fill_cot(d, _):
-        raw = grid_ref[0, d]
-        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
-        mask = (raw < 1.0 - _EPS).astype(jnp.float32)
-        cot_ref[pl.ds(d * HT, HT), :] = gt / (1.0 - v) * mask
-        return 0
-
-    jax.lax.fori_loop(0, D, fill_cot, 0)
-
-    n_chunks = g_ref.shape[1] // chunk
-
-    def body(c, _):
-        g = g_ref[0, pl.ds(c * chunk, chunk), :]
-        gz, gy_full, gx = g[:, 0], g[:, 1], g[:, 2]
-        gy = gy_full - h0
-        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
-        zz, dlzz = _log_norm(gz, inv2s2, radius)
-        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
-        zx, dlzx = _log_norm(gx, inv2s2, radius)
-        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
-        ww = ww_raw / (zz * zy * zx)[:, None]
-        gout = cot_ref[...]
-        d_ww = jax.lax.dot_general(p_raw, gout, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        d_p = jax.lax.dot_general(ww, gout, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        pd = d_p * p_raw
-        dwsum = jnp.sum(d_ww * ww, axis=1)
-        dgz = (jnp.sum(pd * dzd, axis=1) * inv_s2) - dlzz * dwsum
-        dgy = (jnp.sum(pd * dyd, axis=1) * inv_s2) - dlzy * dwsum
-        dgx = (jnp.sum(d_ww * ww * dxd, axis=1) * inv_s2) - dlzx * dwsum
-        dg_ref[0, pl.ds(c * chunk, chunk), :] += jnp.stack(
-            [dgz, dgy, dgx], axis=-1)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, body, 0)
-
-
-def _run_bwd_stored(g, sigma, grid, gsil, D, radius, chunk):
-    P, N, _ = g.shape
-    HT = _h_tile(D)
-    chunk = _chunk_budget(D, HT, chunk, live=4,
-                          reserve=2 * D * HT * D * 4)
-    dg = pl.pallas_call(
-        functools.partial(_bwd_kernel_stored, D=D, HT=HT, radius=radius,
-                          chunk=chunk),
-        grid=(P, D // HT),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, HT, D), lambda p, h: (p, 0, h, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HT, D), lambda p, h: (p, h, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, N, 3), lambda p, h: (p, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, N, 3), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=_interpret(),
-    )(sigma.reshape(P, 1), g, grid, gsil)
-    return dg
-
-
-def _vjp_fwd_store(grid_coords, sigma, vox_size, radius, chunk):
-    sil, grid = _run_fwd_store(grid_coords, sigma, vox_size, radius, chunk)
-    return sil, (grid_coords, sigma, grid)
-
-
-def _vjp_bwd_store(vox_size, radius, chunk, res, gsil):
-    grid_coords, sigma, grid = res
-    dg = _run_bwd_stored(grid_coords, sigma, grid, gsil, vox_size, radius,
-                         chunk)
-    return dg, jnp.zeros_like(sigma)
-
-
-# MEASURED on v5e-1 (40x2k@64^3 / 6x8k@128^3, fwd+bwd): store-grid
-# 3.91ms / 9.55ms vs recompute 4.06ms / 7.41ms — storing ties at 64^3 and
-# loses at 128^3 (the forward's grid writes stall its pipeline more than
-# the backward's re-splat costs). The recompute VJP defined earlier in
-# this module therefore stays active; the stored variant is kept as the
-# documented alternative for memory-rich parts.
-
-
 # ===================================================================
 # SoA (structure-of-arrays) interface: coordinates as three dense (P, N)
 # arrays instead of (P, N, 3). Measured motivation: feeding the custom
@@ -722,7 +108,7 @@ def _vjp_bwd_store(vox_size, radius, chunk, res, gsil):
 # 3-wide lane dimension (97% padding) costing ~15ms per step at
 # B8xV5-all-pairs — the three (P, N) operands tile natively and the
 # in-kernel per-chunk slices become clean (chunk,) vectors. This is the
-# training hot path; the AoS entry points above remain for compatibility.
+# training hot path.
 # ===================================================================
 
 def _accumulate_soa(acc_ref, gz_ref, gy_ref, gx_ref, sigma, D, HT, radius,
@@ -1165,3 +551,221 @@ def _rgb_soa_vjp_bwd(vox_size, radius, chunk, bf16, res, cts):
 
 
 render_drc_rgb_pallas_soa.defvjp(_rgb_soa_vjp_fwd, _rgb_soa_vjp_bwd)
+
+
+# ===================================================================
+# Fused render + MSE: the silhouette NEVER leaves VMEM. Per (pair, H-tile)
+# the forward splats, collapses, subtracts the target mask block and emits
+# only per-row sums of squared error; the backward recomputes the tile and
+# seeds the collapse cotangent gsil = g_sse * 2 * (sil - mask) IN KERNEL.
+# Removes, per pair, the sil HBM write + read and the gsil write + read of
+# the unfused path, plus the XLA-side (P, H, W) mask broadcast: masks stay
+# compact (B*V, H, W) and each of the S*K pairs sharing a target view reads
+# the SAME block via the BlockSpec index_map (p -> b*V + t).
+#
+# Pair flattening convention (must match the loss): p = ((b*S+s)*V+t)*K+k.
+# ===================================================================
+
+def _mask_index_map(S, V, K):
+    """(p, ht) -> block index of the compact (B*V, H, W) mask array."""
+    def index_map(p, ht):
+        b = p // (S * V * K)
+        t = (p // K) % V
+        return b * V + t, ht, 0
+    return index_map
+
+
+def _mse_fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, mask_ref,
+                        sse_ref, acc_ref, *, D, HT, radius, chunk, bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _accumulate_soa(acc_ref, gz_ref, gy_ref, gx_ref, sigma, D, HT, radius,
+                    chunk, (ht * HT).astype(jnp.float32), bf16)
+
+    def collapse(d, trans):
+        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    trans = jax.lax.fori_loop(0, D, collapse,
+                              jnp.ones((HT, D), jnp.float32))
+    err = (1.0 - trans) - mask_ref[0]                    # sil - mask
+    sse_ref[0, 0] = jnp.sum(err * err, axis=0)           # (W,) row sums
+
+
+def _run_mse_fwd_soa(gz, gy, gx, sigma, masks, S, V, K, D, radius, chunk,
+                     bf16):
+    P, N = gz.shape
+    HT = _h_tile(D)
+    chunk = _chunk_budget(D, HT, chunk, live=2, reserve=D * HT * D * 4)
+    gz, gy, gx = (c.reshape(P, 1, N) for c in (gz, gy, gx))
+    coord_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                              memory_space=pltpu.VMEM)
+    sse = pl.pallas_call(
+        functools.partial(_mse_fwd_kernel_soa, D=D, HT=HT, radius=radius,
+                          chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  coord_spec, coord_spec, coord_spec,
+                  pl.BlockSpec((1, HT, D), _mask_index_map(S, V, K),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, D), lambda p, h: (p, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, D // HT, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * N * D * D * D,
+            bytes_accessed=P * (N * 12 + D * D * 4),
+            transcendentals=P * N * (D * D + D)),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), gz, gy, gx, masks)
+    return jnp.sum(sse, axis=(-2, -1))                   # (P,) SSE
+
+
+def _mse_bwd_kernel_soa(sigma_ref, gsse_ref, gz_ref, gy_ref, gx_ref,
+                        mask_ref, dgz_ref, dgy_ref, dgx_ref, acc_ref,
+                        cot_ref, *, D, HT, radius, chunk, bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    inv_s2 = 2.0 * inv2s2
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        dgz_ref[...] = jnp.zeros_like(dgz_ref)
+        dgy_ref[...] = jnp.zeros_like(dgy_ref)
+        dgx_ref[...] = jnp.zeros_like(dgx_ref)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _accumulate_soa(acc_ref, gz_ref, gy_ref, gx_ref, sigma, D, HT, radius,
+                    chunk, h0, bf16)
+
+    def collapse(d, trans):
+        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    trans = jax.lax.fori_loop(0, D, collapse,
+                              jnp.ones((HT, D), jnp.float32))
+    # in-kernel MSE seed: d sse / d sil = 2 * (sil - mask)
+    gsil = gsse_ref[p, 0] * 2.0 * ((1.0 - trans) - mask_ref[0])
+    gt = gsil * trans
+
+    def fill_cot(d, _):
+        raw = acc_ref[pl.ds(d * HT, HT), :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        mask = (raw < 1.0 - _EPS).astype(jnp.float32)
+        cot_ref[pl.ds(d * HT, HT), :] = gt / (1.0 - v) * mask
+        return 0
+
+    jax.lax.fori_loop(0, D, fill_cot, 0)
+
+    n_chunks = gz_ref.shape[2] // chunk
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        gz = gz_ref[0, 0, sl]
+        gy_full = gy_ref[0, 0, sl]
+        gx = gx_ref[0, 0, sl]
+        gy = gy_full - h0
+        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, dlzz = _log_norm(gz, inv2s2, radius)
+        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
+        zx, dlzx = _log_norm(gx, inv2s2, radius)
+        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+        gout = cot_ref[...]
+        d_ww = _dot(p_raw, gout, (((1,), (0,)), ((), ())), bf16)
+        d_p = _dot(ww, gout, (((1,), (1,)), ((), ())), bf16)
+        pd = d_p * p_raw
+        dwsum = jnp.sum(d_ww * ww, axis=1)
+        dgz_ref[0, 0, sl] += (jnp.sum(pd * dzd, axis=1) * inv_s2) \
+            - dlzz * dwsum
+        dgy_ref[0, 0, sl] += (jnp.sum(pd * dyd, axis=1) * inv_s2) \
+            - dlzy * dwsum
+        dgx_ref[0, 0, sl] += (jnp.sum(d_ww * ww * dxd, axis=1) * inv_s2) \
+            - dlzx * dwsum
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _run_mse_bwd_soa(gz, gy, gx, sigma, masks, gsse, S, V, K, D, radius,
+                     chunk, bf16):
+    P, N = gz.shape
+    HT = _h_tile(D)
+    chunk = _chunk_budget(D, HT, chunk, live=4,
+                          reserve=2 * D * HT * D * 4)
+    gz, gy, gx = (c.reshape(P, 1, N) for c in (gz, gy, gx))
+    coord_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                            memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((P, 1, N), jnp.float32)
+    dgz, dgy, dgx = pl.pallas_call(
+        functools.partial(_mse_bwd_kernel_soa, D=D, HT=HT, radius=radius,
+                          chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  coord_spec, coord_spec, coord_spec,
+                  pl.BlockSpec((1, HT, D), _mask_index_map(S, V, K),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(shp, shp, shp),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32),
+                        pltpu.VMEM((D * HT, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), gsse.reshape(P, 1), gz, gy, gx, masks)
+    return (dgz.reshape(P, N), dgy.reshape(P, N), dgx.reshape(P, N))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def render_drc_mse_pallas_soa(gz, gy, gx, sigma, masks,
+                              pair_shape: tuple, vox_size: int,
+                              radius: int = 13, chunk: int = 512,
+                              bf16: bool = False) -> jnp.ndarray:
+    """Fused render + squared-error reduction.
+
+    Args:
+      gz/gy/gx: (P, N) fractional grid coords, P = B*S*V*K flattened as
+        ((b*S+s)*V+t)*K+k; N a chunk multiple (pad with large negatives).
+      sigma: (P,) per-pair footprint std.
+      masks: (B*V, H, W) target masks, flattened b*V+t — NOT broadcast to
+        P; the kernel's index_map dedups the S*K pairs per target view.
+      pair_shape: static (B, S, V, K).
+
+    Returns (P,) sum over pixels of (silhouette - mask)^2. Differentiable
+    w.r.t. the coords (analytic in-kernel MSE seed); sigma and masks get
+    zero cotangents.
+    """
+    B, S, V, K = pair_shape
+    return _run_mse_fwd_soa(gz, gy, gx, sigma, masks, S, V, K, vox_size,
+                            radius, chunk, bf16)
+
+
+def _mse_soa_vjp_fwd(gz, gy, gx, sigma, masks, pair_shape, vox_size,
+                     radius, chunk, bf16):
+    sse = render_drc_mse_pallas_soa(gz, gy, gx, sigma, masks, pair_shape,
+                                    vox_size, radius, chunk, bf16)
+    return sse, (gz, gy, gx, sigma, masks)
+
+
+def _mse_soa_vjp_bwd(pair_shape, vox_size, radius, chunk, bf16, res, gsse):
+    gz, gy, gx, sigma, masks = res
+    B, S, V, K = pair_shape
+    dgz, dgy, dgx = _run_mse_bwd_soa(gz, gy, gx, sigma, masks, gsse,
+                                     S, V, K, vox_size, radius, chunk,
+                                     bf16)
+    return dgz, dgy, dgx, jnp.zeros_like(sigma), jnp.zeros_like(masks)
+
+
+render_drc_mse_pallas_soa.defvjp(_mse_soa_vjp_fwd, _mse_soa_vjp_bwd)

@@ -82,39 +82,13 @@ def _axis_weight(gc, inv2s2, D):
     return jnp.exp(-(dist * dist) * inv2s2), dist
 
 
-def _expander(D, HT):
-    """One-hot expansion matrix E (D, D*HT): E[d, d*HT+h] = 1. Expanding a
-    (chunk, D) per-axis weight to the flattened (chunk, D*HT) pair layout
-    is a single MXU matmul against E — the TPU's gather.
-
-    NOTE: measured SLOWER than the fused (chunk, D*HT) exp on v5e (sil
-    fwd+bwd 4.8ms vs 4.1ms; RGB 13.7ms vs 9.4ms at 40x2k@64^3) — the VPU
-    exp is not the bottleneck there and the extra matmuls/repeat lose.
-    Kept (with _row_collapser/_pair_weight_fast) as the documented
-    alternative for hardware where transcendentals dominate."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (D, D * HT), 1)
-    d = jax.lax.broadcasted_iota(jnp.int32, (D, D * HT), 0)
-    return (j // HT == d).astype(jnp.float32)
-
-
-def _row_collapser(D, HT):
-    """One-hot matrix F (HT, D*HT): F[h, d*HT+h] = 1; dot(x, F.T) sums a
-    flattened (chunk, D*HT) tensor over the depth axis -> (chunk, HT)."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (HT, D * HT), 1)
-    h = jax.lax.broadcasted_iota(jnp.int32, (HT, D * HT), 0)
-    return (j % HT == h).astype(jnp.float32)
-
-
-def _pair_weight_fast(gz, gy, inv2s2, D, HT, E):
-    """Pair weight via per-axis exps + MXU expansion + lane tiling:
-    p_raw[n, d*HT+h] = exp(-(gz-d)^2 ivs) * exp(-(gy-h)^2 ivs).
-    Returns (p_raw, dist_z (chunk,D), dist_y (chunk,HT))."""
-    wd_raw, dist_z = _axis_weight(gz, inv2s2, D)
-    wh_raw, dist_y = _axis_weight(gy, inv2s2, HT)
-    wd_exp = jax.lax.dot_general(wd_raw, E, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    wh_tile = pltpu.repeat(wh_raw, D, axis=1)   # value at j = wh[j % HT]
-    return wd_exp * wh_tile, dist_z, dist_y
+# DELETED VARIANT (measured, rejected — do not re-add): one-hot-matmul
+# expansion of per-axis weights (`_expander`/`_row_collapser`/
+# `_pair_weight_fast`: per-axis exps expanded to the (chunk, D*HT) pair
+# layout via an MXU matmul + pltpu.repeat lane tiling). Measured SLOWER
+# than the fused (chunk, D*HT) exp on v5e — sil fwd+bwd 4.8ms vs 4.1ms,
+# RGB 13.7ms vs 9.4ms at 40x2k@64^3, at f32 AND bf16 — the VPU exp is not
+# the bottleneck and the extra matmuls/repeat lose.
 
 
 # ---------------------------------------------------------------- forward

@@ -158,6 +158,55 @@ def render_silhouettes_fused(points: jnp.ndarray, cams: Camera, sigma,
     return sil, jnp.moveaxis(img, 1, -1)            # (P, H, W, 3)
 
 
+def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
+                     dists: jnp.ndarray, sigma: jnp.ndarray,
+                     masks: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Fused render + silhouette squared error for every (source, target
+    [, candidate]) pair — the training fast path when RGB is off.
+
+    Args:
+      points: (B, S, N, 3) world-frame source clouds.
+      quats:  (B, V, K, 4) target camera rotations (K=1 for known pose).
+      dists:  (B, V, K) camera distances.
+      sigma:  (B, S) splat sigmas.
+      masks:  (B, V, H, W) target masks.
+
+    Returns (B, S, V, K) sums over pixels of (silhouette - mask)^2.
+
+    The pairwise broadcast happens INSIDE the world->grid transform (XLA
+    fuses it), so the only (B*S*V*K, N)-sized arrays ever materialized are
+    the three SoA coordinate operands the kernel needs; silhouettes and
+    their cotangents never exist in HBM, and masks stay compact (B*V,H,W)
+    deduplicated by the kernel's index_map."""
+    from tpu_unsup_pc.ops.pallas.render_kernel import (
+        render_drc_mse_pallas_soa)
+    B, S, N = points.shape[:3]
+    V, K = quats.shape[1], quats.shape[2]
+    D = cfg.vox_size
+    radius = static_gauss_radius(max(cfg.sigma_start, cfg.sigma_end))
+    cams = Camera(quat=quats[:, None],                       # (B,1,V,K,4)
+                  distance=dists[:, None],
+                  focal=jnp.full(dists[:, None].shape, cfg.focal_length,
+                                 jnp.float32))
+    gz, gy, gx = world_to_grid_soa(
+        points[..., 0][:, :, None, None],                    # (B,S,1,1,N)
+        points[..., 1][:, :, None, None],
+        points[..., 2][:, :, None, None], cams, D, cfg.depth_extent)
+    P = B * S * V * K
+    gz, gy, gx = (c.reshape(P, N) for c in (gz, gy, gx))
+    pad = (-N) % cfg.point_chunk
+    if pad:
+        gz, gy, gx = (jnp.pad(c, ((0, 0), (0, pad)), constant_values=-1e6)
+                      for c in (gz, gy, gx))
+    sigma_p = jnp.broadcast_to(sigma[:, :, None, None],
+                               (B, S, V, K)).reshape(P)
+    sigma_k = jnp.sqrt(sigma_p ** 2 + 1.0 / 6.0)    # hat-variance corr.
+    sse = render_drc_mse_pallas_soa(
+        gz, gy, gx, sigma_k, masks.reshape(B * V, *masks.shape[-2:]),
+        (B, S, V, K), D, radius, cfg.point_chunk, cfg.pallas_bf16)
+    return sse.reshape(B, S, V, K)
+
+
 def project_pointclouds_batched(points: jnp.ndarray, cams: Camera, sigma,
                                 cfg: Config,
                                 rgb: jnp.ndarray | None = None,

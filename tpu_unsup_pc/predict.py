@@ -23,7 +23,8 @@ from tpu_unsup_pc.utils.checkpoint import CheckpointManager
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="c1_synth", choices=presets.names())
-    p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="defaults to the preset's cfg.ckpt_dir")
     p.add_argument("--out", default="preds.npz")
     p.add_argument("--num-models", type=int, default=64)
     p.add_argument("--split", default="test")
@@ -48,11 +49,11 @@ def main(argv=None):
         if cfg.dataset == "synthetic" else {}
     dataset = make_dataset(cfg, split=args.split, **ds_kwargs)
 
-    ckpt = CheckpointManager(cfg.ckpt_dir if args.ckpt_dir is None
-                             else args.ckpt_dir)
+    ckpt_dir = cfg.ckpt_dir if args.ckpt_dir is None else args.ckpt_dir
+    ckpt = CheckpointManager(ckpt_dir)
     state, step = ckpt.restore_latest(cfg)
     if state is None:
-        raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
+        raise SystemExit(f"no checkpoint found in {ckpt_dir}")
     print(f"predicting with step-{step} checkpoint")
 
     n = min(args.num_models, len(dataset))
