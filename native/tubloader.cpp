@@ -176,10 +176,15 @@ void tub_dims(void* h, int64_t* v, int64_t* hh, int64_t* w) {
 //   mask f32[B, V, H, W]     (0.0/1.0)
 //   az, el f32[B, V]
 // One pool task per batch element; returns after all elements are written.
-void tub_fill_batch(void* h, const int64_t* idx, int64_t B, float* img,
-                    float* mask, float* az, float* el) {
+// Returns the (0-based) position of the first out-of-range index, or -1 on
+// success — indices are validated against hdr.m BEFORE any task is
+// submitted, so a bad index can never read past the mmap.
+int64_t tub_fill_batch(void* h, const int64_t* idx, int64_t B, float* img,
+                       float* mask, float* az, float* el) {
   auto* L = static_cast<Loader*>(h);
   const size_t V = L->hdr.v, vhw = (size_t)L->hdr.v * L->hdr.h * L->hdr.w;
+  for (int64_t b = 0; b < B; ++b)
+    if (idx[b] < 0 || idx[b] >= (int64_t)L->hdr.m) return b;
   for (int64_t b = 0; b < B; ++b) {
     const int64_t m = idx[b];
     L->pool->Submit([=] {
@@ -197,6 +202,7 @@ void tub_fill_batch(void* h, const int64_t* idx, int64_t B, float* img,
     });
   }
   L->pool->Wait();
+  return -1;
 }
 
 }  // extern "C"

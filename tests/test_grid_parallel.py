@@ -80,6 +80,36 @@ def test_two_axis_dp_x_grid_parallel(rng):
                                np.asarray(ref.silhouette), atol=1e-5)
 
 
+def test_grid_parallel_pallas_matches_unsharded(rng):
+    """The Pallas-splat grid-parallel fast path (per-shard kernel splat +
+    psum of partial grids) == the unsharded XLA projector, values and
+    point gradients."""
+    cfg = CFG.replace(use_pallas=True)
+    mesh = make_mesh(cfg)
+    project = make_grid_parallel_projector(cfg, mesh)
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, size=(128, 3))
+                      .astype(np.float32))
+    cam = make_camera(0.7, 0.3, cfg.camera_distance, cfg.focal_length)
+    sil_p, occ_p = jax.jit(project)(pts, cam, 1.1)
+    ref = project_pointcloud(pts, cam, 1.1, CFG)   # XLA, unsharded
+    np.testing.assert_allclose(np.asarray(occ_p), np.asarray(ref.voxels),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sil_p),
+                               np.asarray(ref.silhouette), atol=1e-4)
+
+    def loss_sharded(p):
+        sil, _ = project(p, cam, 1.0)
+        return jnp.mean(sil ** 2)
+
+    def loss_ref(p):
+        return jnp.mean(project_pointcloud(p, cam, 1.0, CFG)
+                        .silhouette ** 2)
+
+    ga = jax.jit(jax.grad(loss_sharded))(pts)
+    gb = jax.grad(loss_ref)(pts)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)
+
+
 def test_indivisible_points_raise(rng):
     mesh = make_mesh(CFG)
     project = make_grid_parallel_projector(CFG, mesh)

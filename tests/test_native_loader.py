@@ -48,6 +48,18 @@ def test_batch_protocol(tub_path):
         assert set(np.unique(b["mask"])) <= {0.0, 1.0}
 
 
+def test_out_of_range_index_raises(tub_path):
+    """Bad indices must be rejected before any mmap read (they would
+    otherwise read past the mapping and can segfault)."""
+    path, _ = tub_path
+    loader = TubDataset(CFG, path)
+    with pytest.raises(IndexError):
+        loader.get_batch(np.asarray([0, 8]))       # len == 8
+    with pytest.raises(IndexError):
+        loader.get_batch(np.asarray([-1]))
+    loader.get_batch(np.asarray([7]))              # boundary still fine
+
+
 def test_missing_file_raises():
     with pytest.raises(FileNotFoundError):
         TubDataset(CFG, "/nonexistent/path.tub")

@@ -55,6 +55,7 @@ def _lib():
             lib.tub_num_models.argtypes = [ctypes.c_void_p]
             lib.tub_dims.argtypes = [ctypes.c_void_p] + \
                 [ctypes.POINTER(ctypes.c_int64)] * 3
+            lib.tub_fill_batch.restype = ctypes.c_int64
             lib.tub_fill_batch.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64] + [ctypes.POINTER(ctypes.c_float)] * 4
@@ -123,10 +124,13 @@ class TubDataset:
         az = np.empty((B, V), np.float32)
         el = np.empty((B, V), np.float32)
         c_f = ctypes.POINTER(ctypes.c_float)
-        self._lib.tub_fill_batch(
+        bad = self._lib.tub_fill_batch(
             self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             B, img.ctypes.data_as(c_f), mask.ctypes.data_as(c_f),
             az.ctypes.data_as(c_f), el.ctypes.data_as(c_f))
+        if bad >= 0:
+            raise IndexError(
+                f"model index {int(idx[bad])} out of range [0, {self._n})")
         Vc = self.cfg.num_views
         return {"image": img[:, :Vc], "mask": mask[:, :Vc],
                 "azimuth": az[:, :Vc], "elevation": el[:, :Vc]}

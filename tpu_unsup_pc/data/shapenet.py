@@ -48,7 +48,9 @@ class ShapeNetViews:
         self.models = models
         self._rng = np.random.default_rng(cfg.seed if seed is None else seed)
         self._prefetch = prefetch
-        self._num_workers = num_workers
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(max_workers=max(1, num_workers)) \
+            if num_workers > 1 else None
 
     def __len__(self):
         return len(self.models)
@@ -68,8 +70,13 @@ class ShapeNetViews:
                     "elevation": z["elevation"][:V].astype(np.float32)}
 
     def get_batch(self, idx) -> Dict:
-        """Assemble a batch from explicit model indices (eval/predict)."""
-        loaded = [self._load_model(self.models[int(i)]) for i in idx]
+        """Assemble a batch from explicit model indices; npz decode fans
+        out over the thread pool (numpy decompression releases the GIL)."""
+        rels = [self.models[int(i)] for i in idx]
+        if self._pool is not None:
+            loaded = list(self._pool.map(self._load_model, rels))
+        else:
+            loaded = [self._load_model(r) for r in rels]
         return {k: np.stack([d[k] for d in loaded]) for k in loaded[0]}
 
     def sample_batch(self, batch_size: int | None = None) -> Dict:

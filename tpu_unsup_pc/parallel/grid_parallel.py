@@ -32,6 +32,29 @@ from tpu_unsup_pc.ops.splat import splat_gauss_separable, static_gauss_radius
 from tpu_unsup_pc.utils.config import Config
 
 
+def _splat_partials(g, sigma, cfg: Config, radius: int):
+    """(B, N_local, 3) grid coords -> (B, D, D, D) per-shard partial grids.
+    cfg.use_pallas routes through the fused Pallas splat kernel — the fused
+    splat+collapse RENDER kernel cannot be point-sharded (the collapse is
+    nonlinear in the summed grid), so grid-parallel's fast path is the
+    Pallas SPLAT per shard, psum of the partial grids over ICI, then the
+    XLA collapse on the replicated sum."""
+    D = cfg.vox_size
+    B, n_local = g.shape[0], g.shape[1]
+    chunk = min(cfg.point_chunk, max(8, 1 << (n_local - 1).bit_length()))
+    if cfg.use_pallas and cfg.splat_mode == "gauss":
+        from tpu_unsup_pc.ops.pallas.splat_kernel import (
+            pad_points, splat_gauss_pallas_batched)
+        sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (B,))
+        sigma_k = jnp.sqrt(sigma_b ** 2 + 1.0 / 6.0)  # hat-variance corr.
+        return splat_gauss_pallas_batched(pad_points(g, chunk), sigma_k,
+                                          D, radius, chunk)
+    sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (B,))
+    return jax.vmap(
+        lambda gi, si: splat_gauss_separable(
+            gi, D, si, radius=radius, chunk=chunk))(g, sigma_b)
+
+
 def make_grid_parallel_projector(cfg: Config, mesh: Mesh,
                                  axis: str = "data"):
     """Build fn(points (N,3), cam: Camera, sigma) -> (silhouette (H,W),
@@ -48,9 +71,7 @@ def make_grid_parallel_projector(cfg: Config, mesh: Mesh,
         # points_shard: (N / n_shards, 3); camera + sigma replicated
         cam = Camera(quat=quat, distance=dist, focal=focal)
         g = world_to_grid(points_shard, cam, D, cfg.depth_extent)
-        partial = splat_gauss_separable(
-            g, D, sigma, radius=radius,
-            chunk=min(cfg.point_chunk, points_shard.shape[0]))
+        partial = _splat_partials(g[None], sigma, cfg, radius)[0]
         occ = jax.lax.psum(partial, axis)          # ring all-reduce on ICI
         if cfg.clip_voxels:
             occ = jnp.clip(occ, 0.0, 1.0)
@@ -98,11 +119,7 @@ def make_batched_grid_parallel_projector(cfg: Config, mesh: Mesh,
         # shapes per device: (B/|batch|, N/|points|, 3), cams (B/|batch|,..)
         cam = Camera(quat=quat, distance=dist, focal=focal)
         g = world_to_grid(points_shard, cam, D, cfg.depth_extent)
-        partial = jax.vmap(
-            lambda gi, si: splat_gauss_separable(
-                gi, D, si, radius=radius,
-                chunk=min(cfg.point_chunk, points_shard.shape[1])))(
-                    g, sigma)
+        partial = _splat_partials(g, sigma, cfg, radius)
         occ = jax.lax.psum(partial, point_axis)
         if cfg.clip_voxels:
             occ = jnp.clip(occ, 0.0, 1.0)

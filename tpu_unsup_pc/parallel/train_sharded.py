@@ -54,6 +54,9 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh):
 
 
 def make_sharded_eval_step(cfg: Config, mesh: Mesh):
+    """Sharded validation step (used by train.py --eval-every): loss
+    metrics at the fixed fine sigma, batch split over the mesh, metrics
+    replicated (means over the batch axis psum automatically)."""
     repl = replicate(mesh)
     bsh = batch_sharding(mesh)
 
@@ -68,5 +71,21 @@ def make_sharded_eval_step(cfg: Config, mesh: Mesh):
             cfg, state.params, batch,
             jnp.asarray(10 ** 9, jnp.int32))  # past anneal end: sigma_end
         return metrics
+
+    return step
+
+
+def make_sharded_predict_step(cfg: Config, mesh: Mesh):
+    """Sharded inference (predict.py --mesh, BASELINE config 5's 'sharded
+    over a v5e-8 mesh' contract): images batch-sharded in, ModelOutput
+    batch-sharded out, params replicated."""
+    repl = replicate(mesh)
+    bsh = batch_sharding(mesh)
+
+    @functools.partial(jax.jit, in_shardings=(repl, bsh),
+                       out_shardings=bsh)
+    def step(state, images):
+        model = training.make_model(cfg)
+        return model.apply({"params": state.params}, images)
 
     return step

@@ -35,6 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--all-views", action="store_true",
                    help="encode every view (for relative-pose eval), not "
                         "just view 0")
+    p.add_argument("--mesh", type=int, default=None,
+                   help="shard prediction batches over an N-device mesh "
+                        "(BASELINE config 5)")
     return p.parse_args(argv)
 
 
@@ -56,13 +59,42 @@ def main(argv=None):
         raise SystemExit(f"no checkpoint found in {ckpt_dir}")
     print(f"predicting with step-{step} checkpoint")
 
+    step_fn = None
+    if args.mesh is not None and args.mesh > 1:
+        import jax
+        from tpu_unsup_pc.parallel import (make_mesh, batch_sharding,
+                                           make_sharded_predict_step)
+        from tpu_unsup_pc.parallel.mesh import replicate
+        cfg = cfg.replace(mesh_shape=(args.mesh,))
+        mesh = make_mesh(cfg)
+        state = jax.device_put(state, replicate(mesh))
+        sharded = make_sharded_predict_step(cfg, mesh)
+        bsh = batch_sharding(mesh)
+
+        def step_fn(images):
+            return sharded(state, jax.device_put(images, bsh))
+        assert args.batch_size % args.mesh == 0, (args.batch_size,
+                                                  args.mesh)
+        print(f"predicting over a {mesh.devices.shape} mesh")
+
     n = min(args.num_models, len(dataset))
     preds, poses, rgbs, azs, els = [], [], [], [], []
     for i in range(0, n, args.batch_size):
         idx = np.arange(i, min(i + args.batch_size, n))
         batch = dataset.get_batch(idx)
         images = batch["image"] if args.all_views else batch["image"][:, 0]
-        out = training.predict_step(cfg, state, jnp.asarray(images))
+        if step_fn is not None:
+            # pad the tail batch to the full (mesh-divisible) size, trim
+            # the outputs back after
+            pad = args.batch_size - images.shape[0]
+            if pad:
+                images = np.concatenate(
+                    [images, np.repeat(images[-1:], pad, axis=0)])
+            out = step_fn(jnp.asarray(images))
+            if pad:
+                out = jax.tree_util.tree_map(lambda x: x[:-pad], out)
+        else:
+            out = training.predict_step(cfg, state, jnp.asarray(images))
         preds.append(np.asarray(out.cloud.points))
         if out.cloud.rgb is not None:
             rgbs.append(np.asarray(out.cloud.rgb))

@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--num-models", type=int, default=256,
                    help="synthetic dataset size")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="validation-loss cadence in steps (0 = off); uses "
+                        "a held-out split at the fixed fine sigma")
+    p.add_argument("--eval-batches", type=int, default=4)
     p.add_argument("--trace-dir", default=None,
                    help="jax.profiler trace output dir")
     p.add_argument("--tensorboard", action="store_true")
@@ -111,6 +115,19 @@ def main(argv=None):
         def step_fn(state, batch):
             return training.train_step(cfg, state, batch)
 
+    eval_fn, val_dataset = None, None
+    if args.eval_every > 0:
+        val_dataset = make_dataset(cfg, split="val", **ds_kwargs)
+        if mesh is not None:
+            from tpu_unsup_pc.parallel import make_sharded_eval_step
+            _ev = make_sharded_eval_step(cfg, mesh)
+
+            def eval_fn(state, batch):
+                return _ev(state, shard_batch(batch, mesh))
+        else:
+            def eval_fn(state, batch):
+                return training.eval_step(cfg, state, batch)
+
     n_steps = cfg.max_steps - start
     ppv = (cfg.batch_size * (cfg.source_views or cfg.num_views)
            * cfg.num_views * cfg.pc_num_points)
@@ -133,6 +150,13 @@ def main(argv=None):
                     sync_on=metrics_sync(state))
                 logger.log(step, metrics)
                 meter.start()
+            if eval_fn is not None and step % args.eval_every == 0:
+                vals = [eval_fn(state, val_dataset.sample_batch())
+                        for _ in range(args.eval_batches)]
+                val = {f"val_{k}": float(np.mean([float(m[k])
+                                                  for m in vals]))
+                       for k in vals[0]}
+                logger.log(step, val)
             if step % cfg.ckpt_every == 0 or step == cfg.max_steps:
                 ckpt.save(state, cfg)
     ckpt.wait()
