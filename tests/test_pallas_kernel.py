@@ -55,6 +55,45 @@ def test_adversarial_all_points_one_cell(rng):
                                np.asarray(_ref(g, sigma)), atol=1e-4)
 
 
+def test_rgb_splat_matches_separable(rng):
+    """Standalone RGB splat kernel == the XLA values splat, fwd and grads
+    w.r.t. coords AND colors (and the single-cloud adapter has no XLA
+    fallback left)."""
+    from tpu_unsup_pc.ops.pallas.splat_kernel import (
+        splat_gauss_pallas, splat_gauss_rgb_pallas_batched)
+    g = jnp.asarray(rng.uniform(0, D, size=(P, N, 3)).astype(np.float32))
+    c = jnp.asarray(rng.uniform(size=(P, N, 3)).astype(np.float32))
+    sigma = jnp.asarray([1.1, 0.9, 1.4], jnp.float32)
+
+    def ref(gg, cc):
+        vals = jnp.concatenate([jnp.ones_like(cc[..., :1]), cc], axis=-1)
+        return jnp.stack([
+            splat_gauss_separable(gg[i], D, float(sigma[i]), values=vals[i],
+                                  radius=RADIUS, chunk=CHUNK,
+                                  hat_correction=False)
+            for i in range(gg.shape[0])])
+
+    out = splat_gauss_rgb_pallas_batched(g, c, sigma, D, RADIUS, CHUNK)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(g, c)),
+                               atol=1e-5)
+    tgt = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
+    gk, ck = jax.grad(lambda a, b: jnp.sum(splat_gauss_rgb_pallas_batched(
+        a, b, sigma, D, RADIUS, CHUNK) * tgt), argnums=(0, 1))(g, c)
+    gr, cr = jax.grad(lambda a, b: jnp.sum(ref(a, b) * tgt),
+                      argnums=(0, 1))(g, c)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ck), np.asarray(cr), atol=1e-4)
+    # adapter path (odd N exercises color padding)
+    grids = splat_gauss_pallas(g[0, :41], D, 1.1, rgb=c[0, :41],
+                               radius=RADIUS, chunk=CHUNK,
+                               hat_correction=False)
+    ref41 = ref(g[:1, :41], c[:1, :41])[0]
+    np.testing.assert_allclose(np.asarray(grids["occupancy"]),
+                               np.asarray(ref41[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grids["rgb"]),
+                               np.asarray(ref41[1:]), atol=1e-5)
+
+
 def test_padding_is_mass_neutral(rng):
     g = rng.uniform(5, D - 6, size=(1, 40, 3)).astype(np.float32)
     padded = pad_points(jnp.asarray(g), CHUNK)

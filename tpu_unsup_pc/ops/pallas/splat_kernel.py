@@ -260,25 +260,206 @@ def pad_points(g: jnp.ndarray, chunk: int) -> jnp.ndarray:
     return jnp.concatenate([g, filler], axis=-2)
 
 
+# =================================================================== RGB
+# Value-weighted batched splat: 4 channels (occupancy + r,g,b) of the same
+# separable-Gaussian deposit. H-tiled like the render kernels so the 4
+# per-channel (D*HT, W) accumulators fit VMEM at 128^3; the (P, N, 3)
+# coords/colors are unstacked to SoA (P, 1, N) operands in the wrapper
+# BEFORE the custom call (a 3-wide lane dim would force layout
+# conversions — same lesson as the SoA render kernels).
+
+def _h_tile_rgb_splat(D: int) -> int:
+    return D if D <= 64 else 32
+
+
+def _rgb_splat_fwd_kernel(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref,
+                          cg_ref, cb_ref, out_ref, occ_s, r_s, g_s, b_s,
+                          *, D, HT, radius, chunk):
+    from tpu_unsup_pc.ops.pallas.render_kernel import _accumulate_rgb_soa
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    accs = (occ_s, r_s, g_s, b_s)
+    for a in accs:
+        a[...] = jnp.zeros_like(a)
+    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
+                        cb_ref, sigma, D, HT, radius, chunk,
+                        (ht * HT).astype(jnp.float32))
+    for k in range(4):
+        out_ref[0, k] = accs[k][...].reshape(D, HT, D)
+
+
+def _run_rgb_splat_fwd(gz, gy, gx, cr, cg, cb, sigma, D, radius, chunk):
+    P, N = gz.shape
+    HT = _h_tile_rgb_splat(D)
+    chunk = _chunk_budget_rgb(D, HT, chunk)
+    ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
+    spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rgb_splat_fwd_kernel, D=D, HT=HT, radius=radius,
+                          chunk=chunk),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 6,
+        out_specs=pl.BlockSpec((1, 4, D, HT, D),
+                               lambda p, h: (p, 0, 0, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, 4, D, D, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
+                        for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), *ops)
+    return out
+
+
+def _chunk_budget_rgb(D, HT, chunk, budget=56 * 2 ** 20):
+    c = chunk
+    while c > 8 and 20 * c * D * HT * 4 > budget - 5 * D * HT * D * 4:
+        c //= 2
+    return max(c, 8)
+
+
+def _rgb_splat_bwd_kernel(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref,
+                          cg_ref, cb_ref, cot_ref, dgz_ref, dgy_ref,
+                          dgx_ref, dcr_ref, dcg_ref, dcb_ref, *,
+                          D, HT, radius, chunk):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    inv_s2 = 2.0 * inv2s2
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        for ref in (dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    n_chunks = gz_ref.shape[2] // chunk
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        gz = gz_ref[0, 0, sl]
+        gy_full = gy_ref[0, 0, sl]
+        gx = gx_ref[0, 0, sl]
+        gy = gy_full - h0
+        vals = (cr_ref[0, 0, sl], cg_ref[0, 0, sl], cb_ref[0, 0, sl])
+        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, dlzz = _log_norm(gz, inv2s2, radius)
+        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
+        zx, dlzx = _log_norm(gx, inv2s2, radius)
+        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+
+        pd = jnp.zeros((chunk, p_raw.shape[1]), jnp.float32)
+        dwsum = jnp.zeros((chunk,), jnp.float32)
+        dx_term = jnp.zeros((chunk,), jnp.float32)
+        dval_refs = (dcr_ref, dcg_ref, dcb_ref)
+        for k in range(4):
+            cot = cot_ref[0, k].reshape(D * HT, D)
+            val = jnp.ones((chunk,), jnp.float32) if k == 0 \
+                else vals[k - 1]
+            d_ww = jax.lax.dot_general(p_raw, cot, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            d_p = jax.lax.dot_general(ww, cot, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dws_k = jnp.sum(d_ww * ww, axis=1)      # = dval for k>0
+            pd += val[:, None] * (d_p * p_raw)
+            dwsum += val * dws_k
+            dx_term += val * jnp.sum(d_ww * ww * dxd, axis=1)
+            if k > 0:
+                dval_refs[k - 1][0, 0, sl] += dws_k
+        dgz_ref[0, 0, sl] += (jnp.sum(pd * dzd, axis=1) * inv_s2) \
+            - dlzz * dwsum
+        dgy_ref[0, 0, sl] += (jnp.sum(pd * dyd, axis=1) * inv_s2) \
+            - dlzy * dwsum
+        dgx_ref[0, 0, sl] += (dx_term * inv_s2) - dlzx * dwsum
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _run_rgb_splat_bwd(gz, gy, gx, cr, cg, cb, sigma, cot, D, radius,
+                       chunk):
+    P, N = gz.shape
+    HT = _h_tile_rgb_splat(D)
+    chunk = _chunk_budget_rgb(D, HT, chunk)
+    ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
+    spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((P, 1, N), jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_rgb_splat_bwd_kernel, D=D, HT=HT, radius=radius,
+                          chunk=chunk),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 6 + [
+            pl.BlockSpec((1, 4, D, HT, D), lambda p, h: (p, 0, 0, h, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=tuple([spec] * 6),
+        out_shape=tuple([shp] * 6),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), *ops, cot)
+    return tuple(o.reshape(P, N) for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def splat_gauss_rgb_pallas_batched(grid_coords: jnp.ndarray,
+                                   rgb: jnp.ndarray, sigma: jnp.ndarray,
+                                   vox_size: int, radius: int = 13,
+                                   chunk: int = 512) -> jnp.ndarray:
+    """Batched value-weighted Gaussian splat: (P, N, 3) coords + (P, N, 3)
+    colors -> (P, 4, D, D, D) grids (channel 0 = occupancy, 1..3 = color
+    mass). Differentiable w.r.t. coords and colors; zero cotangent for
+    sigma. N must be a chunk multiple (pad coords with pad_points, colors
+    with zeros)."""
+    g, c = grid_coords, rgb
+    return _run_rgb_splat_fwd(g[..., 0], g[..., 1], g[..., 2],
+                              c[..., 0], c[..., 1], c[..., 2],
+                              sigma, vox_size, radius, chunk)
+
+
+def _rgb_splat_vjp_fwd(grid_coords, rgb, sigma, vox_size, radius, chunk):
+    out = splat_gauss_rgb_pallas_batched(grid_coords, rgb, sigma, vox_size,
+                                         radius, chunk)
+    return out, (grid_coords, rgb, sigma)
+
+
+def _rgb_splat_vjp_bwd(vox_size, radius, chunk, res, cot):
+    g, c, sigma = res
+    dgz, dgy, dgx, dcr, dcg, dcb = _run_rgb_splat_bwd(
+        g[..., 0], g[..., 1], g[..., 2], c[..., 0], c[..., 1], c[..., 2],
+        sigma, cot, vox_size, radius, chunk)
+    return (jnp.stack([dgz, dgy, dgx], axis=-1),
+            jnp.stack([dcr, dcg, dcb], axis=-1), jnp.zeros_like(sigma))
+
+
+splat_gauss_rgb_pallas_batched.defvjp(_rgb_splat_vjp_fwd, _rgb_splat_vjp_bwd)
+
+
 def splat_gauss_pallas(grid_coords: jnp.ndarray, vox_size: int, sigma,
                        rgb=None, radius: int = 13, chunk: int = 512,
                        hat_correction: bool = True) -> dict:
     """Single-cloud adapter matching ops.splat.pointcloud_to_voxels'
-    contract. RGB values currently fall back to the XLA separable path
-    (kernel value-splatting lands with the RGB-perf milestone)."""
-    from tpu_unsup_pc.ops.splat import splat_gauss_separable
+    contract, silhouette-only AND RGB (no XLA fallback)."""
     sigma = jnp.asarray(sigma, jnp.float32)
     if hat_correction:
         sigma_k = jnp.sqrt(sigma ** 2 + 1.0 / 6.0)
     else:
         sigma_k = sigma
-    if rgb is not None:
-        vals = jnp.concatenate([jnp.ones_like(rgb[:, :1]), rgb], axis=-1)
-        grids = splat_gauss_separable(grid_coords, vox_size, sigma,
-                                      values=vals, radius=radius,
-                                      chunk=chunk)
-        return {"occupancy": grids[0], "rgb": grids[1:]}
     g = pad_points(grid_coords[None], chunk)
+    if rgb is not None:
+        pad = g.shape[1] - rgb.shape[0]
+        c = jnp.pad(rgb[None], ((0, 0), (0, pad), (0, 0))) if pad \
+            else rgb[None]
+        grids = splat_gauss_rgb_pallas_batched(g, c, sigma_k.reshape(1),
+                                               vox_size, radius, chunk)[0]
+        return {"occupancy": grids[0], "rgb": grids[1:]}
     occ = splat_gauss_pallas_batched(g, sigma_k.reshape(1), vox_size,
                                      radius, chunk)[0]
     return {"occupancy": occ}

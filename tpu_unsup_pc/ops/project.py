@@ -229,14 +229,22 @@ def project_pointclouds_batched(points: jnp.ndarray, cams: Camera, sigma,
     g = world_to_grid(points, cams, D, cfg.depth_extent)       # (P, N, 3)
 
     rgb_grid = None
-    if (cfg.use_pallas and rgb is None and cfg.splat_mode == "gauss"
+    if (cfg.use_pallas and cfg.splat_mode == "gauss"
             and jax.default_backend() == "tpu"):
         from tpu_unsup_pc.ops.pallas.splat_kernel import (
-            pad_points, splat_gauss_pallas_batched)
+            pad_points, splat_gauss_pallas_batched,
+            splat_gauss_rgb_pallas_batched)
         sigma_k = jnp.sqrt(sigma ** 2 + 1.0 / 6.0)   # hat-variance corr.
-        occ = splat_gauss_pallas_batched(pad_points(g, cfg.point_chunk),
-                                         sigma_k, D, radius,
-                                         cfg.point_chunk)
+        g_p = pad_points(g, cfg.point_chunk)
+        if rgb is None:
+            occ = splat_gauss_pallas_batched(g_p, sigma_k, D, radius,
+                                             cfg.point_chunk)
+        else:
+            pad = g_p.shape[1] - rgb.shape[1]
+            rgb_p = jnp.pad(rgb, ((0, 0), (0, pad), (0, 0))) if pad else rgb
+            grids = splat_gauss_rgb_pallas_batched(g_p, rgb_p, sigma_k, D,
+                                                   radius, cfg.point_chunk)
+            occ, rgb_grid = grids[:, 0], grids[:, 1:]
     elif cfg.splat_mode == "gauss":
         if rgb is None:
             occ = jax.vmap(
