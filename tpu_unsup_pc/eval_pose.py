@@ -52,6 +52,28 @@ def evaluate_pose(pred_pose: np.ndarray, gt_azimuth: np.ndarray,
             "num_pairs": int(ang.size)}
 
 
+def evaluate_state_poses(cfg, state, images, azimuth, elevation,
+                         chunk: int = 16) -> dict:
+    """In-process pose eval of a TrainState: student relative-pose stats
+    plus each candidate head's median (diagnostic for ensemble health).
+    images (M,V,H,W,3), azimuth/elevation (M,V) numpy arrays."""
+    from tpu_unsup_pc import training
+    students, cands = [], []
+    for i in range(0, images.shape[0], chunk):
+        out = training.predict_step(cfg, state,
+                                    jnp.asarray(images[i:i + chunk]))
+        students.append(np.asarray(out.pose.student))
+        cands.append(np.asarray(out.pose.candidates))
+    student = np.concatenate(students)                  # (M,V,4)
+    cand = np.concatenate(cands)                        # (M,V,K,4)
+    res = evaluate_pose(student, azimuth, elevation)
+    per_head = [evaluate_pose(cand[:, :, k], azimuth, elevation)
+                ["pose_err_median_deg"] for k in range(cand.shape[2])]
+    res["head_med_deg"] = [round(h, 1) for h in per_head]
+    res["best_head_med_deg"] = min(per_head)
+    return res
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pred", default="preds.npz",

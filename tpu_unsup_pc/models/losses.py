@@ -88,7 +88,7 @@ def _wmean(x, w):
 
 
 def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
-                 sigma) -> Tuple[jnp.ndarray, dict]:
+                 sigma, step=None) -> Tuple[jnp.ndarray, dict]:
     """Total training loss + metrics for one (possibly sharded) batch.
 
     batch: {"image": (B,V,H,W,3), "mask": (B,V,H,W),
@@ -215,7 +215,12 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
     dot = jnp.sum(student * best_q, axis=-1)                 # (B,V)
     loss_student = _wmean(1.0 - dot ** 2, view_w[None])
 
-    total = loss_teacher + cfg.pose_student_weight * loss_student
+    w_student = cfg.pose_student_weight
+    if cfg.pose_student_warmup_steps > 0 and step is not None:
+        w_student = w_student * jnp.minimum(
+            1.0, jnp.asarray(step, jnp.float32)
+            / cfg.pose_student_warmup_steps)
+    total = loss_teacher + w_student * loss_student
     # report per-term losses at the SELECTED candidates so loss_sil means
     # the same thing as in the known-pose branch
     sel_sil = jnp.take_along_axis(

@@ -42,7 +42,8 @@ class DPCModel(nn.Module):
         if cfg.predict_pose:
             self.pose_head = PoseHead(
                 num_candidates=cfg.pose_candidates,
-                predict_translation=cfg.predict_translation, dtype=dtype)
+                predict_translation=cfg.predict_translation,
+                student_detach=cfg.pose_student_detach, dtype=dtype)
 
     def encode(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.encoder(images)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tpu_unsup_pc.ops.quaternion import quat_normalize
@@ -29,6 +30,7 @@ class PoseHead(nn.Module):
     num_candidates: int = 4
     hidden: int = 256
     predict_translation: bool = False
+    student_detach: bool = False   # stop-grad the student head's trunk input
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -45,8 +47,9 @@ class PoseHead(nn.Module):
         # registered as params (the optimizer must not move them)
         anchors = _anchor_quats(K)
         cand = quat_normalize(raw_c.reshape(-1, K, 4) + anchors[None])
+        x_s = jax.lax.stop_gradient(x) if self.student_detach else x
         raw_s = nn.Dense(4, dtype=self.dtype,
-                         name="student_head")(x).astype(jnp.float32)
+                         name="student_head")(x_s).astype(jnp.float32)
         student = quat_normalize(
             raw_s + jnp.asarray([1.0, 0.0, 0.0, 0.0]))
         trans = None

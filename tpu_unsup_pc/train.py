@@ -48,6 +48,11 @@ def parse_args(argv=None):
                    help="validation-loss cadence in steps (0 = off); uses "
                         "a held-out split at the fixed fine sigma")
     p.add_argument("--eval-batches", type=int, default=4)
+    p.add_argument("--pose-eval-every", type=int, default=0,
+                   help="relative-pose eval cadence in steps (0 = off); "
+                        "predict_pose presets on datasets that expose "
+                        "images/azimuth/elevation arrays (synthetic)")
+    p.add_argument("--pose-eval-models", type=int, default=64)
     p.add_argument("--trace-dir", default=None,
                    help="jax.profiler trace output dir")
     p.add_argument("--tensorboard", action="store_true")
@@ -128,6 +133,20 @@ def main(argv=None):
             def eval_fn(state, batch):
                 return training.eval_step(cfg, state, batch)
 
+    pose_eval = None
+    if (args.pose_eval_every > 0 and cfg.predict_pose
+            and hasattr(dataset, "images")):
+        from tpu_unsup_pc.eval_pose import evaluate_state_poses
+        _m = min(args.pose_eval_models, len(dataset))
+        _imgs, _az, _el = (dataset.images[:_m], dataset.azimuth[:_m],
+                           dataset.elevation[:_m])
+
+        def pose_eval(state):
+            r = evaluate_state_poses(cfg, state, _imgs, _az, _el)
+            return {"pose_err_median_deg": r["pose_err_median_deg"],
+                    "pose_acc_30deg": r["pose_acc_30deg"],
+                    "pose_best_head_med_deg": r["best_head_med_deg"]}
+
     n_steps = cfg.max_steps - start
     ppv = (cfg.batch_size * (cfg.source_views or cfg.num_views)
            * cfg.num_views * cfg.pc_num_points)
@@ -157,6 +176,8 @@ def main(argv=None):
                                                   for m in vals]))
                        for k in vals[0]}
                 logger.log(step, val)
+            if pose_eval is not None and step % args.pose_eval_every == 0:
+                logger.log(step, pose_eval(state))
             if step % cfg.ckpt_every == 0 or step == cfg.max_steps:
                 ckpt.save(state, cfg)
     ckpt.wait()

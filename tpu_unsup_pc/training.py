@@ -65,7 +65,7 @@ def loss_and_metrics(cfg: Config, params, batch: Batch, step,
     model = make_model(cfg)
     output = model.apply({"params": params}, batch["image"])
     sigma = sigma_at_step(cfg, step)
-    loss, metrics = compute_loss(cfg, output, batch, sigma)
+    loss, metrics = compute_loss(cfg, output, batch, sigma, step=step)
     metrics["sigma"] = sigma
     return loss, metrics
 

@@ -51,6 +51,18 @@ class Config:
     predict_pose: bool = False     # False => ground-truth pose (configs 1,2,4,5)
     pose_candidates: int = 4       # K candidate quaternions
     pose_student_weight: float = 20.0  # weight on student->teacher loss
+    # cut student-loss gradients at the pose trunk: the student imitation
+    # loss then trains ONLY the student head, not the shared trunk/encoder
+    # (whose shape features it would otherwise drag toward whichever random
+    # candidate currently wins)
+    pose_student_detach: bool = False
+    # ramp the student weight 0 -> pose_student_weight over this many steps.
+    # Early in training the min-loss teacher is pure churn (candidates are
+    # near-identical), and the optimal response to a randomly churning
+    # target is an input-INDEPENDENT constant — at weight 20 that gradient
+    # drags the shared trunk/encoder into constancy and kills shape
+    # learning (observed: all-heads-identical ~90deg collapse). 0 = off.
+    pose_student_warmup_steps: int = 0
     predict_translation: bool = False  # regress camera distance offset too
 
     # ---- projector (SURVEY §2 splatter/smoothing/projection, L2) ----
