@@ -184,3 +184,52 @@ def test_eval_and_predict_steps(rng):
     assert np.isfinite(float(metrics["loss"]))
     out = training.predict_step(CFG, state, batch["image"][:, 0])
     assert out.cloud.points.shape == (2, CFG.pc_num_points, 3)
+
+
+def test_pose_student_warmup_scales_weight(rng):
+    """pose_student_warmup_steps ramps the student weight 0 -> full
+    (collapse insurance, docs/pose_training.md)."""
+    cfg = CFG.replace(predict_pose=True, pose_candidates=2,
+                      pose_student_warmup_steps=100)
+    model = DPCModel(cfg=cfg)
+    batch = _dummy_batch(cfg, rng)
+    params = model.init(jax.random.PRNGKey(0), batch["image"])["params"]
+    out = model.apply({"params": params}, batch["image"])
+    loss0, m0 = compute_loss(cfg, out, batch, 1.0, step=0)
+    loss_half, _ = compute_loss(cfg, out, batch, 1.0, step=50)
+    loss_full, m_full = compute_loss(cfg, out, batch, 1.0, step=100)
+    loss_past, _ = compute_loss(cfg, out, batch, 1.0, step=10_000)
+    w, s = cfg.pose_student_weight, float(m0["loss_student"])
+    np.testing.assert_allclose(float(loss0), float(m0["loss_teacher"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(loss_half) - float(loss0), 0.5 * w * s,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(loss_full), float(loss_past), rtol=1e-6)
+    # no step given (or warmup off) -> full weight
+    loss_none, _ = compute_loss(cfg, out, batch, 1.0)
+    np.testing.assert_allclose(float(loss_none), float(loss_full), rtol=1e-6)
+
+
+def test_pose_student_detach_blocks_trunk_grads(rng):
+    """pose_student_detach: the student imitation loss must not move the
+    encoder/trunk (only the student head)."""
+    cfg = CFG.replace(predict_pose=True, pose_candidates=2,
+                      pose_student_detach=True)
+    model = DPCModel(cfg=cfg)
+    batch = _dummy_batch(cfg, rng)
+    params = model.init(jax.random.PRNGKey(0), batch["image"])["params"]
+
+    def student_term(p):
+        out = model.apply({"params": p}, batch["image"])
+        _, m = compute_loss(cfg, out, batch, 1.0)
+        return m["loss_student"]
+
+    g = jax.grad(student_term)(params)
+    g_student = g["pose_head"]["student_head"]["kernel"]
+    assert float(jnp.abs(g_student).max()) > 0
+    flat = jax.tree_util.tree_leaves_with_path(g)
+    for path, leaf in flat:
+        name = jax.tree_util.keystr(path)
+        if "student_head" in name:
+            continue
+        assert float(jnp.abs(leaf).max()) == 0.0, name
