@@ -38,14 +38,12 @@ def evaluate_pose(pred_pose: np.ndarray, gt_azimuth: np.ndarray,
     q_pred = jnp.asarray(pred_pose)
     q_gt = quat_from_euler(jnp.asarray(gt_azimuth),
                            jnp.asarray(gt_elevation))
-    angles = []
-    for i in range(V):
-        for j in range(i + 1, V):
-            rel_p = quat_multiply(q_pred[:, i],
-                                  quat_conjugate(q_pred[:, j]))
-            rel_g = quat_multiply(q_gt[:, i], quat_conjugate(q_gt[:, j]))
-            angles.append(np.asarray(quat_angle_between(rel_p, rel_g)))
-    ang = np.degrees(np.concatenate(angles))
+    # all ordered pairs i<j at once (one device dispatch, not V^2 — the
+    # per-pair loop cost tens of seconds through the TPU tunnel)
+    iu, ju = np.triu_indices(V, k=1)
+    rel_p = quat_multiply(q_pred[:, iu], quat_conjugate(q_pred[:, ju]))
+    rel_g = quat_multiply(q_gt[:, iu], quat_conjugate(q_gt[:, ju]))
+    ang = np.degrees(np.asarray(quat_angle_between(rel_p, rel_g)).ravel())
     return {"pose_err_median_deg": float(np.median(ang)),
             "pose_err_mean_deg": float(ang.mean()),
             "pose_acc_30deg": float((ang < 30.0).mean()),
