@@ -15,6 +15,7 @@ import math
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from tpu_unsup_pc import training
 from tpu_unsup_pc.configs import presets
@@ -58,6 +59,14 @@ def parse_args(argv=None):
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--use-pallas", action="store_true",
                    help="fused Pallas splat kernel")
+    p.add_argument("--host-data", action="store_true",
+                   help="disable the device-resident dataset fast path "
+                        "(synthetic, single-chip): by default the whole "
+                        "synthetic dataset lives in HBM and batches are "
+                        "gathered on-device, so the per-step host->device "
+                        "transfer is 8 indices instead of ~3MB of images "
+                        "(the axon tunnel makes per-step transfers cost "
+                        "100-300ms)")
     return p.parse_args(argv)
 
 
@@ -152,14 +161,45 @@ def main(argv=None):
            * cfg.num_views * cfg.pc_num_points)
     meter = ThroughputMeter(ppv, n_chips=n_mesh)
 
+    # device-resident dataset fast path: gather the batch in HBM inside
+    # the jitted step; the host sends only batch_size int32 indices
+    device_data = (not args.host_data and mesh is None
+                   and hasattr(dataset, "images"))
+    if device_data:
+        import functools
+
+        data_dev = jax.device_put({
+            "image": dataset.images, "mask": dataset.masks,
+            "azimuth": dataset.azimuth, "elevation": dataset.elevation})
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _device_step(data, state, idx):
+            batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+            return training.train_step(cfg, state, batch)
+
+        idx_rng = np.random.default_rng(cfg.seed + 0x5eed)
+        n_models = len(dataset)
+
+        def batches_iter():
+            for _ in range(n_steps):
+                yield idx_rng.integers(0, n_models, size=cfg.batch_size)
+
+    else:
+        def batches_iter():
+            return dataset.batches(steps=n_steps)
+
     with maybe_profile(args.trace_dir):
         meter.start()
-        for i, batch in enumerate(dataset.batches(steps=n_steps)):
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
+        for i, batch in enumerate(batches_iter()):
+            if device_data:
+                state, metrics = _device_step(data_dev, state,
+                                              jnp.asarray(batch))
             else:
-                batch = jax.device_put(batch)
-            state, metrics = step_fn(state, batch)
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                else:
+                    batch = jax.device_put(batch)
+                state, metrics = step_fn(state, batch)
             meter.step()
             step = start + i + 1
             if (step % cfg.log_every == 0 or step == start + 1
