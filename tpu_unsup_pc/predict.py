@@ -38,7 +38,33 @@ def parse_args(argv=None):
     p.add_argument("--mesh", type=int, default=None,
                    help="shard prediction batches over an N-device mesh "
                         "(BASELINE config 5)")
+    p.add_argument("--params-npz", default=None,
+                   help="load params from a tools/export_params.py .npz "
+                        "instead of an orbax checkpoint (the durable "
+                        "committed artifacts under runs/)")
     return p.parse_args(argv)
+
+
+def _state_from_npz(cfg, path):
+    """TrainState with params from a tools/export_params.py export (f16
+    arrays are upcast; optimizer state is fresh — prediction only)."""
+    import jax
+    with np.load(path) as z:
+        step = int(z["__step__"])
+        flat = {k: z[k].astype(np.float32) if z[k].dtype == np.float16
+                else z[k] for k in z.files if k != "__step__"}
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p_ in parts[:-1]:
+            node = node.setdefault(p_, {})
+        node[parts[-1]] = jnp.asarray(v)
+    state = training.init_state(cfg)
+    ref = jax.tree_util.tree_structure(state.params)
+    params = jax.tree_util.tree_unflatten(
+        ref, jax.tree_util.tree_leaves(tree))
+    return state.replace(params=params, step=step), step
 
 
 def main(argv=None):
@@ -52,11 +78,14 @@ def main(argv=None):
         if cfg.dataset == "synthetic" else {}
     dataset = make_dataset(cfg, split=args.split, **ds_kwargs)
 
-    ckpt_dir = cfg.ckpt_dir if args.ckpt_dir is None else args.ckpt_dir
-    ckpt = CheckpointManager(ckpt_dir)
-    state, step = ckpt.restore_latest(cfg)
-    if state is None:
-        raise SystemExit(f"no checkpoint found in {ckpt_dir}")
+    if args.params_npz is not None:
+        state, step = _state_from_npz(cfg, args.params_npz)
+    else:
+        ckpt_dir = cfg.ckpt_dir if args.ckpt_dir is None else args.ckpt_dir
+        ckpt = CheckpointManager(ckpt_dir)
+        state, step = ckpt.restore_latest(cfg)
+        if state is None:
+            raise SystemExit(f"no checkpoint found in {ckpt_dir}")
     print(f"predicting with step-{step} checkpoint")
 
     step_fn = None
