@@ -40,7 +40,15 @@ class PoseHead(nn.Module):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
         K = self.num_candidates
-        raw_c = nn.Dense(K * 4, dtype=self.dtype,
+        # tiny head init: at step 0 the candidates ARE the anchor codebook
+        # (raw ~ 1e-3 << |anchor| = 1), so the min-loss teacher is a stable
+        # nearest-anchor assignment instead of per-image churn. With the
+        # default O(1) init the anchors are swamped by input noise, the
+        # argmin churns, and the student loss's optimal response to a
+        # churning target is an input-independent constant — the collapse
+        # documented in docs/pose_training.md.
+        small = nn.initializers.normal(stddev=1e-3)
+        raw_c = nn.Dense(K * 4, dtype=self.dtype, kernel_init=small,
                          name="candidates_head")(x).astype(jnp.float32)
         # fixed (non-trainable) rotation anchors spread the candidates so
         # the ensemble can't collapse: constants, deliberately NOT
@@ -48,7 +56,7 @@ class PoseHead(nn.Module):
         anchors = _anchor_quats(K)
         cand = quat_normalize(raw_c.reshape(-1, K, 4) + anchors[None])
         x_s = jax.lax.stop_gradient(x) if self.student_detach else x
-        raw_s = nn.Dense(4, dtype=self.dtype,
+        raw_s = nn.Dense(4, dtype=self.dtype, kernel_init=small,
                          name="student_head")(x_s).astype(jnp.float32)
         student = quat_normalize(
             raw_s + jnp.asarray([1.0, 0.0, 0.0, 0.0]))

@@ -59,6 +59,13 @@ def parse_args(argv=None):
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--use-pallas", action="store_true",
                    help="fused Pallas splat kernel")
+    p.add_argument("--set", action="append", dest="overrides", default=[],
+                   metavar="KEY=VALUE",
+                   help="override any Config field (repeatable); values "
+                        "parse as JSON, falling back to string")
+    p.add_argument("--ckpt-keep", type=int, default=3,
+                   help="checkpoints retained (raise for runs monitored "
+                        "at a coarser cadence than ckpt_every*keep steps)")
     p.add_argument("--host-data", action="store_true",
                    help="disable the device-resident dataset fast path "
                         "(synthetic, single-chip): by default the whole "
@@ -87,6 +94,14 @@ def build_config(args):
         over["mesh_shape"] = (args.mesh,)
     if args.use_pallas:
         over["use_pallas"] = True
+    for kv in args.overrides:
+        k, v = kv.split("=", 1)
+        try:
+            import json
+            v = json.loads(v)
+        except ValueError:
+            pass
+        over[k] = tuple(v) if isinstance(v, list) else v
     return cfg.replace(**over).validate()
 
 
@@ -107,7 +122,7 @@ def main(argv=None):
         if cfg.dataset == "synthetic" else {}
     dataset = make_dataset(cfg, **ds_kwargs)
 
-    ckpt = CheckpointManager(cfg.ckpt_dir)
+    ckpt = CheckpointManager(cfg.ckpt_dir, max_to_keep=args.ckpt_keep)
     logger = MetricsLogger(args.log_dir, use_tensorboard=args.tensorboard)
 
     state, start = (None, None)
