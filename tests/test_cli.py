@@ -58,3 +58,36 @@ def test_eval_alignment_recovers_rotation(rng):
     unaligned = evaluate(pred[None], gt[None], align=False)
     aligned = evaluate(pred[None], gt[None], align=True)
     assert aligned["chamfer_l1_mean"] < 0.3 * unaligned["chamfer_l1_mean"]
+
+
+@pytest.mark.slow
+def test_params_npz_export_predict(tmp_path, monkeypatch):
+    """tools/export_params.py round trip: orbax ckpt -> npz -> predict
+    --params-npz produces the same clouds as the orbax path."""
+    import subprocess
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    train.main(["--preset", "tiny", "--steps", "10", "--ckpt-dir", ckpt,
+                "--log-dir", str(tmp_path / "logs"), "--num-models", "8",
+                "--set", "ckpt_every=10"])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    npz = str(tmp_path / "params.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "export_params.py"),
+         "--preset", "tiny", "--ckpt-dir", ckpt, "--out", npz],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    out_ckpt = str(tmp_path / "p1.npz")
+    out_npz = str(tmp_path / "p2.npz")
+    predict.main(["--preset", "tiny", "--ckpt-dir", ckpt, "--out",
+                  out_ckpt, "--num-models", "4"])
+    predict.main(["--preset", "tiny", "--params-npz", npz, "--out",
+                  out_npz, "--num-models", "4"])
+    with np.load(out_ckpt) as a, np.load(out_npz) as b:
+        np.testing.assert_allclose(a["pred_points"], b["pred_points"],
+                                   atol=1e-6)
