@@ -233,3 +233,22 @@ def test_pose_student_detach_blocks_trunk_grads(rng):
         if "student_head" in name:
             continue
         assert float(jnp.abs(leaf).max()) == 0.0, name
+
+
+def test_pose_student_weight_decay(rng):
+    """pose_student_decay_steps ramps the weight to pose_student_weight_end
+    (anti-merge insurance, docs/pose_training.md)."""
+    cfg = CFG.replace(predict_pose=True, pose_candidates=2,
+                      pose_student_weight=10.0,
+                      pose_student_weight_end=2.0,
+                      pose_student_decay_steps=100)
+    model = DPCModel(cfg=cfg)
+    batch = _dummy_batch(cfg, rng)
+    params = model.init(jax.random.PRNGKey(0), batch["image"])["params"]
+    out = model.apply({"params": params}, batch["image"])
+    _, m0 = compute_loss(cfg, out, batch, 1.0, step=0)
+    teacher, student = float(m0["loss_teacher"]), float(m0["loss_student"])
+    for step, w in ((0, 10.0), (50, 6.0), (100, 2.0), (5000, 2.0)):
+        loss, _ = compute_loss(cfg, out, batch, 1.0, step=step)
+        np.testing.assert_allclose(float(loss), teacher + w * student,
+                                   rtol=1e-5)

@@ -220,6 +220,10 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
         w_student = w_student * jnp.minimum(
             1.0, jnp.asarray(step, jnp.float32)
             / cfg.pose_student_warmup_steps)
+    if cfg.pose_student_decay_steps > 0 and step is not None:
+        f = jnp.minimum(1.0, jnp.asarray(step, jnp.float32)
+                        / cfg.pose_student_decay_steps)
+        w_student = w_student * (1.0 - f) + cfg.pose_student_weight_end * f
     total = loss_teacher + w_student * loss_student
     # report per-term losses at the SELECTED candidates so loss_sil means
     # the same thing as in the known-pose branch

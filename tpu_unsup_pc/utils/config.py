@@ -63,6 +63,15 @@ class Config:
     # drags the shared trunk/encoder into constancy and kills shape
     # learning (observed: all-heads-identical ~90deg collapse). 0 = off.
     pose_student_warmup_steps: int = 0
+    # linearly decay the student weight to this value over
+    # pose_student_decay_steps (0 = no decay). Rationale
+    # (docs/pose_training.md): a large weight accelerates candidate
+    # specialization early, but mid-training the student term dominates the
+    # total loss and its cheapest minimum is MERGING all candidates (the
+    # observed late collapse) — decay to a small distillation weight once
+    # the ensemble has specialized.
+    pose_student_weight_end: float = 0.0
+    pose_student_decay_steps: int = 0
     predict_translation: bool = False  # regress camera distance offset too
 
     # ---- projector (SURVEY §2 splatter/smoothing/projection, L2) ----
