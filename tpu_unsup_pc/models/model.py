@@ -43,7 +43,8 @@ class DPCModel(nn.Module):
             self.pose_head = PoseHead(
                 num_candidates=cfg.pose_candidates,
                 predict_translation=cfg.predict_translation,
-                student_detach=cfg.pose_student_detach, dtype=dtype)
+                student_detach=cfg.pose_student_detach,
+                init_scale=cfg.pose_head_init_scale, dtype=dtype)
 
     def encode(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.encoder(images)

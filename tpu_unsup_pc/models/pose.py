@@ -31,6 +31,7 @@ class PoseHead(nn.Module):
     hidden: int = 256
     predict_translation: bool = False
     student_detach: bool = False   # stop-grad the student head's trunk input
+    init_scale: float = 0.2        # head init vs anchors; see Config
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -40,14 +41,15 @@ class PoseHead(nn.Module):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
         K = self.num_candidates
-        # tiny head init: at step 0 the candidates ARE the anchor codebook
-        # (raw ~ 1e-3 << |anchor| = 1), so the min-loss teacher is a stable
-        # nearest-anchor assignment instead of per-image churn. With the
-        # default O(1) init the anchors are swamped by input noise, the
-        # argmin churns, and the student loss's optimal response to a
-        # churning target is an input-independent constant — the collapse
-        # documented in docs/pose_training.md.
-        small = nn.initializers.normal(stddev=1e-3)
+        # anchor-biased head init (docs/pose_training.md): raw starts at
+        # ~init_scale x the unit anchors — big enough that candidates are
+        # input-SENSITIVE from step 0 (pure-anchor codebook heads never
+        # grow input-dependence), small enough that the anchors dominate
+        # the argmin (O(1) noise makes the teacher churn and collapses the
+        # trunk). stddev is scaled by 1/sqrt(hidden) so init_scale is in
+        # units of trunk-activation RMS.
+        small = nn.initializers.normal(
+            stddev=self.init_scale * self.hidden ** -0.5)
         raw_c = nn.Dense(K * 4, dtype=self.dtype, kernel_init=small,
                          name="candidates_head")(x).astype(jnp.float32)
         # fixed (non-trainable) rotation anchors spread the candidates so

@@ -72,6 +72,13 @@ class Config:
     # the ensemble has specialized.
     pose_student_weight_end: float = 0.0
     pose_student_decay_steps: int = 0
+    # candidate/student head init scale, in units of trunk-activation RMS:
+    # raw head outputs start ~ this size vs the unit anchor quaternions.
+    # ~1.0 (lecun default) = input-sensitive but churny argmin (stochastic
+    # early collapse); ~0 = stable anchor codebook but input-dependence
+    # may never grow (pose stuck at the anchor quantization). See
+    # docs/pose_training.md.
+    pose_head_init_scale: float = 0.2
     predict_translation: bool = False  # regress camera distance offset too
 
     # ---- projector (SURVEY §2 splatter/smoothing/projection, L2) ----
