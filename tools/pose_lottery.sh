@@ -10,7 +10,8 @@ COMMON=(--preset c3_synth --use-pallas --pose-eval-every 2500
         --ckpt-keep 10 --num-models 256
         --set sigma_end=1.4 --set sigma_anneal_steps=20000
         --set pose_head_init_scale=1.0)
-for seed in "${@:-3 4 5 6 7 8}"; do
+SEEDS=${*:-"3 4 5 6 7 8"}
+for seed in $SEEDS; do
   dir=runs/c3_seed$seed
   mkdir -p "$dir"
   echo "=== probing seed $seed ==="

@@ -31,7 +31,9 @@ class PoseHead(nn.Module):
     hidden: int = 256
     predict_translation: bool = False
     student_detach: bool = False   # stop-grad the student head's trunk input
-    init_scale: float = 0.2        # head init vs anchors; see Config
+    init_scale: float | None = 0.2  # head init vs anchors; None = flax
+                                    # default (lecun) — reproduces the
+                                    # round-1/v1 param draws exactly
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -48,9 +50,10 @@ class PoseHead(nn.Module):
         # the argmin (O(1) noise makes the teacher churn and collapses the
         # trunk). stddev is scaled by 1/sqrt(hidden) so init_scale is in
         # units of trunk-activation RMS.
-        small = nn.initializers.normal(
-            stddev=self.init_scale * self.hidden ** -0.5)
-        raw_c = nn.Dense(K * 4, dtype=self.dtype, kernel_init=small,
+        init_kw = {} if self.init_scale is None else {
+            "kernel_init": nn.initializers.normal(
+                stddev=self.init_scale * self.hidden ** -0.5)}
+        raw_c = nn.Dense(K * 4, dtype=self.dtype, **init_kw,
                          name="candidates_head")(x).astype(jnp.float32)
         # fixed (non-trainable) rotation anchors spread the candidates so
         # the ensemble can't collapse: constants, deliberately NOT
@@ -58,7 +61,7 @@ class PoseHead(nn.Module):
         anchors = _anchor_quats(K)
         cand = quat_normalize(raw_c.reshape(-1, K, 4) + anchors[None])
         x_s = jax.lax.stop_gradient(x) if self.student_detach else x
-        raw_s = nn.Dense(4, dtype=self.dtype, kernel_init=small,
+        raw_s = nn.Dense(4, dtype=self.dtype, **init_kw,
                          name="student_head")(x_s).astype(jnp.float32)
         student = quat_normalize(
             raw_s + jnp.asarray([1.0, 0.0, 0.0, 0.0]))

@@ -77,8 +77,8 @@ class Config:
     # ~1.0 (lecun default) = input-sensitive but churny argmin (stochastic
     # early collapse); ~0 = stable anchor codebook but input-dependence
     # may never grow (pose stuck at the anchor quantization). See
-    # docs/pose_training.md.
-    pose_head_init_scale: float = 0.2
+    # docs/pose_training.md. None = flax default init (round-1 draws).
+    pose_head_init_scale: float | None = 0.2
     predict_translation: bool = False  # regress camera distance offset too
 
     # ---- projector (SURVEY §2 splatter/smoothing/projection, L2) ----
