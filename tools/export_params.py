@@ -48,6 +48,8 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--f16", action="store_true",
                    help="store float16 (halves size; ~1e-3 relative noise)")
+    p.add_argument("--step", type=int, default=None,
+                   help="export this checkpoint step (default: latest)")
     args = p.parse_args(argv)
 
     from tpu_unsup_pc.configs import presets
@@ -55,7 +57,8 @@ def main(argv=None):
 
     cfg = presets.get(args.preset)
     cfg = cfg.replace(ckpt_dir=args.ckpt_dir)
-    state, step = CheckpointManager(args.ckpt_dir).restore_latest(cfg)
+    mgr = CheckpointManager(args.ckpt_dir)
+    state, step = mgr.restore_latest(cfg, step=args.step)
     if state is None:
         raise SystemExit(f"no checkpoint in {args.ckpt_dir}")
     flat = flatten_params(state.params)

@@ -77,6 +77,8 @@ def main(argv=None):
 
     with np.load(args.pred) as z:
         pred = z["pred_points"]
+        if pred.ndim == 4:      # --all-views dump (M, V, N, 3): score the
+            pred = pred[:, 0]   # canonical view-0 cloud per model
         gt = z["gt_points"] if args.gt is None else None
     if gt is None and args.gt is not None:
         with np.load(args.gt) as z:

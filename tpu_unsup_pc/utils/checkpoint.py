@@ -46,13 +46,15 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore_latest(self, cfg: Config,
+    def restore_latest(self, cfg: Config, step: Optional[int] = None,
                        ) -> Tuple[Optional[training.TrainState],
                                   Optional[int]]:
         """Restore onto a freshly-initialized state template (shapes/dtypes
         from cfg). Returns (None, None) when no checkpoint exists —
-        resume-by-default semantics for the train loop."""
-        step = self._mgr.latest_step()
+        resume-by-default semantics for the train loop. Pass `step` to
+        restore a specific retained checkpoint instead of the latest."""
+        if step is None:
+            step = self._mgr.latest_step()
         if step is None:
             return None, None
         template = jax.eval_shape(lambda: training.init_state(cfg))
