@@ -225,3 +225,30 @@ def test_fused_rgb_grads(rng):
     gr, cr = jax.grad(loss_r, argnums=(0, 1))(g, rgb)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=2e-4)
     np.testing.assert_allclose(np.asarray(ck), np.asarray(cr), atol=2e-4)
+
+
+def test_fused_mse_h_tiled(rng):
+    """D=128 multi-H-tile MSE path (D//HT=4): the per-tile SSE output
+    must stay (8, W)-tile-aligned — a (1, W) output block fails Mosaic
+    lowering on TPU (caught by the c4 128^3 config, round 2)."""
+    Dg, Np = 128, 64
+    g = jnp.asarray(rng.uniform(20, Dg - 20, size=(1, Np, 3))
+                    .astype(np.float32))
+    sigma = jnp.asarray([1.5], jnp.float32)
+    mask = jnp.asarray((rng.uniform(size=(1, Dg, Dg)) > 0.5)
+                       .astype(np.float32))
+    sse = render_drc_mse_pallas_soa(*_soa(g), sigma, mask, (1, 1, 1, 1),
+                                    Dg, RADIUS, 32)
+    occ = splat_gauss_separable(g[0], Dg, 1.5, radius=RADIUS, chunk=32,
+                                hat_correction=False)
+    sil = 1.0 - jnp.prod(1.0 - jnp.clip(occ, 0, 1 - 1e-6), axis=0)
+    ref = jnp.sum((sil - mask[0]) ** 2)
+    np.testing.assert_allclose(float(sse[0]), float(ref), rtol=1e-4)
+    gk = jax.grad(lambda x: jnp.sum(render_drc_mse_pallas_soa(
+        *_soa(x), sigma, mask, (1, 1, 1, 1), Dg, RADIUS, 32)))(g)
+    occ_f = lambda x: splat_gauss_separable(x[0], Dg, 1.5, radius=RADIUS,
+                                            chunk=32, hat_correction=False)
+    ref_f = lambda x: jnp.sum((1.0 - jnp.prod(
+        1.0 - jnp.clip(occ_f(x), 0, 1 - 1e-6), axis=0) - mask[0]) ** 2)
+    gr = jax.grad(ref_f)(g)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)

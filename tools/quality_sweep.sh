@@ -26,7 +26,8 @@ run_one() {  # name preset steps extra-train-args...
       --out "$dir/eval.json" | tail -1
 }
 
-for which in "${@:-c1 c4 c5}"; do
+WHICH=${*:-"c1 c4 c5"}
+for which in $WHICH; do
   case $which in
     c1) run_one c1_quality c1_synth 12000 ;;
     c4) run_one c4_quality c4_synth 6000 ;;

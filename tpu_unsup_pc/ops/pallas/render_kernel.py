@@ -591,7 +591,11 @@ def _mse_fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, mask_ref,
     trans = jax.lax.fori_loop(0, D, collapse,
                               jnp.ones((HT, D), jnp.float32))
     err = (1.0 - trans) - mask_ref[0]                    # sil - mask
-    sse_ref[0, 0] = jnp.sum(err * err, axis=0)           # (W,) row sums
+    # (W,) row sums land in sublane 0 of an (8, W) tile: the per-(p, ht)
+    # output block must keep its last-two dims (8, W)-aligned for Mosaic
+    # (a (1, W) block fails lowering when D//HT > 1, i.e. at 128^3)
+    sse_ref[...] = jnp.zeros_like(sse_ref)
+    sse_ref[0, 0, 0, :] = jnp.sum(err * err, axis=0)
 
 
 def _run_mse_fwd_soa(gz, gy, gx, sigma, masks, S, V, K, D, radius, chunk,
@@ -610,9 +614,9 @@ def _run_mse_fwd_soa(gz, gy, gx, sigma, masks, S, V, K, D, radius, chunk,
                   coord_spec, coord_spec, coord_spec,
                   pl.BlockSpec((1, HT, D), _mask_index_map(S, V, K),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, D), lambda p, h: (p, h, 0),
+        out_specs=pl.BlockSpec((1, 1, 8, D), lambda p, h: (p, h, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, D // HT, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, D // HT, 8, D), jnp.float32),
         scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -623,7 +627,7 @@ def _run_mse_fwd_soa(gz, gy, gx, sigma, masks, S, V, K, D, radius, chunk,
             transcendentals=P * N * (D * D + D)),
         interpret=_interpret(),
     )(sigma.reshape(P, 1), gz, gy, gx, masks)
-    return jnp.sum(sse, axis=(-2, -1))                   # (P,) SSE
+    return jnp.sum(sse, axis=(-3, -2, -1))               # (P,) SSE
 
 
 def _mse_bwd_kernel_soa(sigma_ref, gsse_ref, gz_ref, gy_ref, gx_ref,
