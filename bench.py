@@ -22,6 +22,15 @@ SIGMA = 1.0
 ITERS = 20
 ORACLE_ITERS = 3  # best-of-3 (the stand-in baseline shouldn't be noisy)
 
+# Pinned stand-in baseline (VERDICT r2 weak #2: the live oracle re-measure
+# drifts with host load on the 1-core machine, making vs_baseline
+# incomparable across rounds). This is the round-1 best-of-3 measurement
+# of the frozen torch-CPU oracle at the shapes above, recorded in
+# BASELINE.md and BASELINE.json ("oracle_standin_points_views_per_sec").
+# vs_baseline uses this constant; the live re-measure is reported
+# separately as oracle_live / vs_oracle_live.
+PINNED_ORACLE = 43000.0
+
 
 def bench_jax(use_pallas: bool = True) -> float:
     """Time the projector fwd+bwd exactly as the train loop drives it: all
@@ -124,12 +133,14 @@ def main():
         base = bench_oracle()
     except Exception:
         base = float("nan")
-    vs = ours / base if base == base else None
+    live = round(ours / base, 2) if base == base else None
     print(json.dumps({
         "metric": "projector_fwd_bwd_points_views_per_sec_per_chip",
         "value": round(ours, 1),
         "unit": "points*views/s/chip (64^3 grid, 2k pts, B8xV5)",
-        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "vs_baseline": round(ours / PINNED_ORACLE, 2),
+        "oracle_live": round(base, 1) if base == base else None,
+        "vs_oracle_live": live,
     }))
 
 

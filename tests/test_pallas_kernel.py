@@ -22,9 +22,9 @@ if _os.environ.get("TPU_TESTS"):
     D, N, P, CHUNK, RADIUS = 16, 256, 3, 128, 9
 else:
     D, N, P, CHUNK, RADIUS = 16, 96, 3, 32, 9
-# TPU MXU/transcendental numerics: kernel-vs-XLA diffs ~1e-3 on chip
-ATOL = 2e-3 if _os.environ.get("TPU_TESTS") else 1e-5
-GTOL = 2e-2 if _os.environ.get("TPU_TESTS") else 2e-4
+# scale-aware kernel-vs-XLA tolerances (measured on-chip margins +
+# headroom; see tests/_tolerances.py)
+from tests._tolerances import check_fwd, check_grad
 
 
 def _ref(g, sigma):
@@ -38,8 +38,7 @@ def test_forward_matches_separable(rng):
     g = jnp.asarray(rng.uniform(-1, D, size=(P, N, 3)).astype(np.float32))
     sigma = jnp.asarray([1.0, 1.7, 0.8], jnp.float32)
     out = splat_gauss_pallas_batched(g, sigma, D, RADIUS, CHUNK)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(g, sigma)),
-                               atol=ATOL)
+    check_fwd(out, _ref(g, sigma), "splat_fwd")
 
 
 def test_backward_matches_separable(rng):
@@ -50,7 +49,7 @@ def test_backward_matches_separable(rng):
     gk = jax.grad(lambda x: jnp.sum(
         splat_gauss_pallas_batched(x, sigma, D, RADIUS, CHUNK) * tgt))(g)
     gr = jax.grad(lambda x: jnp.sum(_ref(x, sigma) * tgt))(g)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=GTOL)
+    check_grad(gk, gr, "splat_grad")
 
 
 def test_adversarial_all_points_one_cell(rng):
@@ -60,9 +59,8 @@ def test_adversarial_all_points_one_cell(rng):
         rng.normal(size=(1, N, 3)).astype(np.float32)) * 1e-3
     sigma = jnp.asarray([1.0], jnp.float32)
     out = splat_gauss_pallas_batched(g, sigma, D, RADIUS, CHUNK)
-    np.testing.assert_allclose(float(out.sum()), N, rtol=GTOL)
-    np.testing.assert_allclose(np.asarray(out),
-                               np.asarray(_ref(g, sigma)), atol=GTOL)
+    check_fwd(float(out.sum()), float(N), "splat_adversarial_mass")
+    check_fwd(out, _ref(g, sigma), "splat_adversarial_fwd")
 
 
 def test_rgb_splat_matches_separable(rng):
@@ -84,24 +82,21 @@ def test_rgb_splat_matches_separable(rng):
             for i in range(gg.shape[0])])
 
     out = splat_gauss_rgb_pallas_batched(g, c, sigma, D, RADIUS, CHUNK)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(g, c)),
-                               atol=ATOL)
+    check_fwd(out, ref(g, c), "rgb_splat_fwd")
     tgt = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
     gk, ck = jax.grad(lambda a, b: jnp.sum(splat_gauss_rgb_pallas_batched(
         a, b, sigma, D, RADIUS, CHUNK) * tgt), argnums=(0, 1))(g, c)
     gr, cr = jax.grad(lambda a, b: jnp.sum(ref(a, b) * tgt),
                       argnums=(0, 1))(g, c)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=GTOL)
-    np.testing.assert_allclose(np.asarray(ck), np.asarray(cr), atol=GTOL)
+    check_grad(gk, gr, "rgb_splat_dcoords")
+    check_grad(ck, cr, "rgb_splat_dcolors")
     # adapter path (odd N exercises color padding)
     grids = splat_gauss_pallas(g[0, :41], D, 1.1, rgb=c[0, :41],
                                radius=RADIUS, chunk=CHUNK,
                                hat_correction=False)
     ref41 = ref(g[:1, :41], c[:1, :41])[0]
-    np.testing.assert_allclose(np.asarray(grids["occupancy"]),
-                               np.asarray(ref41[0]), atol=ATOL)
-    np.testing.assert_allclose(np.asarray(grids["rgb"]),
-                               np.asarray(ref41[1:]), atol=ATOL)
+    check_fwd(grids["occupancy"], ref41[0], "rgb_adapter_occ")
+    check_fwd(grids["rgb"], ref41[1:], "rgb_adapter_rgb")
 
 
 def test_padding_is_mass_neutral(rng):
@@ -110,7 +105,7 @@ def test_padding_is_mass_neutral(rng):
     assert padded.shape[1] % CHUNK == 0 and padded.shape[1] >= 40
     sigma = jnp.asarray([1.0], jnp.float32)
     out = splat_gauss_pallas_batched(padded, sigma, D, RADIUS, CHUNK)
-    np.testing.assert_allclose(float(out.sum()), 40.0, rtol=GTOL)
+    check_fwd(float(out.sum()), 40.0, "padding_mass")
 
 
 def test_per_pair_sigma(rng):
@@ -143,8 +138,8 @@ def test_batched_projector_matches_single(rng):
         cam_i = make_camera(float(az[i]), float(el[i]), cfg.camera_distance,
                             cfg.focal_length)
         single = project_pointcloud(pts[i], cam_i, 1.1, cfg)
-        np.testing.assert_allclose(np.asarray(batched.silhouette[i]),
-                                   np.asarray(single.silhouette), atol=ATOL)
+        check_fwd(batched.silhouette[i], single.silhouette,
+                  "batched_projector_sil")
 
 
 def test_batched_projector_rgb(rng):
@@ -162,5 +157,5 @@ def test_batched_projector_rgb(rng):
     batched = project_pointclouds_batched(pts, cams, 1.1, cfg, rgb=rgb)
     cam0 = make_camera(0.3, 0.1, cfg.camera_distance, cfg.focal_length)
     single = project_pointcloud(pts[0], cam0, 1.1, cfg, rgb=rgb[0])
-    np.testing.assert_allclose(np.asarray(batched.rgb_image[0]),
-                               np.asarray(single.rgb_image), atol=ATOL)
+    check_fwd(batched.rgb_image[0], single.rgb_image,
+              "batched_projector_rgb")

@@ -11,7 +11,7 @@ from tpu_unsup_pc.configs import presets
 from tpu_unsup_pc.ops.camera import make_camera
 from tpu_unsup_pc.ops.pallas.render_kernel import (
     render_drc_mse_pallas_soa, render_drc_pallas_soa,
-    render_drc_rgb_pallas_soa)
+    render_drc_rgb_mse_pallas_soa, render_drc_rgb_pallas_soa)
 from tpu_unsup_pc.ops.project import project_pointclouds_batched
 from tpu_unsup_pc.ops.splat import splat_gauss_separable
 
@@ -23,9 +23,9 @@ if _os.environ.get("TPU_TESTS"):
     D, N, P, CHUNK, RADIUS = 16, 256, 3, 128, 9
 else:
     D, N, P, CHUNK, RADIUS = 16, 96, 3, 32, 9
-# TPU MXU/transcendental numerics: kernel-vs-XLA diffs ~1e-3 on chip
-ATOL = 2e-3 if _os.environ.get("TPU_TESTS") else 1e-5
-GTOL = 2e-2 if _os.environ.get("TPU_TESTS") else 2e-4
+# scale-aware kernel-vs-XLA tolerances (measured on-chip margins +
+# headroom; see tests/_tolerances.py)
+from tests._tolerances import check_fwd, check_grad
 # compiled-TPU chunk alignment (see CHUNK above): small-shape
 # tests that hardcode chunk/point counts use these instead
 SMALL_CHUNK = 128 if _os.environ.get("TPU_TESTS") else 32
@@ -49,13 +49,12 @@ def test_fused_sil_fwd_bwd(rng):
     g = jnp.asarray(rng.uniform(-1, D, size=(P, N, 3)).astype(np.float32))
     sigma = jnp.asarray([1.0, 1.6, 0.8], jnp.float32)
     sil = render_drc_pallas_soa(*_soa(g), sigma, D, RADIUS, CHUNK)
-    np.testing.assert_allclose(np.asarray(sil),
-                               np.asarray(_ref_sil(g, sigma)), atol=ATOL)
+    check_fwd(sil, _ref_sil(g, sigma), "render_sil_fwd")
     tgt = jnp.asarray(rng.normal(size=(P, D, D)).astype(np.float32))
     gk = jax.grad(lambda x: jnp.sum(
         render_drc_pallas_soa(*_soa(x), sigma, D, RADIUS, CHUNK) * tgt))(g)
     gr = jax.grad(lambda x: jnp.sum(_ref_sil(x, sigma) * tgt))(g)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=GTOL)
+    check_grad(gk, gr, "render_sil_grad")
 
 
 def test_fused_sil_h_tiled(rng):
@@ -68,8 +67,7 @@ def test_fused_sil_h_tiled(rng):
     occ = splat_gauss_separable(g[0], Dg, 1.5, radius=RADIUS, chunk=32,
                                 hat_correction=False)
     ref = 1.0 - jnp.prod(1.0 - jnp.clip(occ, 0, 1 - 1e-6), axis=0)
-    np.testing.assert_allclose(np.asarray(sil[0]), np.asarray(ref),
-                               atol=ATOL)
+    check_fwd(sil[0], ref, "render_sil_h_tiled")
 
 
 def test_fused_mse_fwd_bwd(rng):
@@ -92,14 +90,13 @@ def test_fused_mse_fwd_bwd(rng):
 
     sse_k = render_drc_mse_pallas_soa(*_soa(g), sigma, masks,
                                       (B, S, V, K), D, RADIUS, CHUNK)
-    np.testing.assert_allclose(np.asarray(sse_k), np.asarray(ref_sse(g)),
-                               rtol=GTOL, atol=GTOL)
+    check_fwd(sse_k, ref_sse(g), "mse_fwd")
     # weighted sum -> per-pair cotangents differ, exercising the seed
     w = jnp.asarray(rng.uniform(0.1, 2.0, size=(Pn,)).astype(np.float32))
     gk = jax.grad(lambda x: jnp.sum(render_drc_mse_pallas_soa(
         *_soa(x), sigma, masks, (B, S, V, K), D, RADIUS, CHUNK) * w))(g)
     gr = jax.grad(lambda x: jnp.sum(ref_sse(x) * w))(g)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=GTOL)
+    check_grad(gk, gr, "mse_grad")
 
 
 def _ref_rgb(cfg, pts, rgb, cams, sigma):
@@ -124,10 +121,8 @@ def test_fused_rgb_matches_projector(rng):
     sil_k, img_k = render_silhouettes_fused(pts, cams, sigma, cfg, rgb=rgb)
     sil_r, img_r = _ref_rgb(cfg.replace(use_pallas=False), pts, rgb, cams,
                             sigma)
-    np.testing.assert_allclose(np.asarray(sil_k), np.asarray(sil_r),
-                               atol=ATOL)
-    np.testing.assert_allclose(np.asarray(img_k), np.asarray(img_r),
-                               atol=GTOL)
+    check_fwd(sil_k, sil_r, "rgb_render_sil_fwd")
+    check_fwd(img_k, img_r, "rgb_render_img_fwd")
 
 
 def test_fused_soa_matches_projector(rng):
@@ -145,15 +140,14 @@ def test_fused_soa_matches_projector(rng):
     sil_k, _ = render_silhouettes_fused(pts, cams, sigma, cfg)
     ref = project_pointclouds_batched(pts, cams, sigma,
                                       cfg.replace(use_pallas=False))
-    np.testing.assert_allclose(np.asarray(sil_k),
-                               np.asarray(ref.silhouette), atol=ATOL)
+    check_fwd(sil_k, ref.silhouette, "soa_render_sil_fwd")
     tgt = jnp.asarray(rng.normal(size=sil_k.shape).astype(np.float32))
     gk = jax.grad(lambda p: jnp.sum(
         render_silhouettes_fused(p, cams, sigma, cfg)[0] * tgt))(pts)
     gr = jax.grad(lambda p: jnp.sum(project_pointclouds_batched(
         p, cams, sigma, cfg.replace(use_pallas=False)).silhouette
         * tgt))(pts)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=GTOL)
+    check_grad(gk, gr, "soa_render_grad")
 
 
 def test_fused_loss_matches_unfused(rng, monkeypatch):
@@ -193,15 +187,14 @@ def test_fused_loss_matches_unfused(rng, monkeypatch):
 
         lf = float(loss_of(params, True))
         lu = float(loss_of(params, False))
-        np.testing.assert_allclose(lf, lu, rtol=GTOL)
+        check_fwd(lf, lu, "fused_loss_value")
         if pose:  # grad check on the branch with nontrivial cotangent
             # routing (argmin + take_along_axis over the fused pair SSE)
             gf = jax.grad(lambda p: loss_of(p, True))(params)
             gu = jax.grad(lambda p: loss_of(p, False))(params)
             for a, b in zip(jax.tree_util.tree_leaves(gf),
                             jax.tree_util.tree_leaves(gu)):
-                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                           atol=GTOL)
+                check_grad(a, b, "fused_loss_param_grad")
 
 
 def test_fused_rgb_grads(rng):
@@ -237,8 +230,119 @@ def test_fused_rgb_grads(rng):
 
     gk, ck = jax.grad(loss_k, argnums=(0, 1))(g, rgb)
     gr, cr = jax.grad(loss_r, argnums=(0, 1))(g, rgb)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=GTOL)
-    np.testing.assert_allclose(np.asarray(ck), np.asarray(cr), atol=GTOL)
+    check_grad(gk, gr, "rgb_render_dcoords")
+    check_grad(ck, cr, "rgb_render_dcolors")
+
+
+def _ref_rgb_render(g, c, sigma):
+    """Composed XLA reference: per-pair occupancy + color splats, DRC
+    collapse, expected-color compositing. g/c: (P, N, 3)."""
+    sils, imgs = [], []
+    for i in range(g.shape[0]):
+        vals = jnp.concatenate([jnp.ones_like(c[i][:, :1]), c[i]], axis=-1)
+        grids = splat_gauss_separable(g[i], D, sigma[i], values=vals,
+                                      radius=RADIUS, chunk=CHUNK,
+                                      hat_correction=False)
+        occ, col = grids[0], grids[1:]
+        v = jnp.clip(occ, 0, 1 - 1e-6)
+        trans = jnp.cumprod(1 - v, axis=0)
+        tb = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]])
+        w = v * tb
+        cell = col / jnp.maximum(occ, 1e-6)
+        sils.append(1 - trans[-1])
+        imgs.append((w[None] * cell).sum(1))
+    return jnp.stack(sils), jnp.stack(imgs)         # (P,H,W), (P,3,H,W)
+
+
+def test_fused_rgb_mse_fwd_bwd(rng):
+    """Fused RGB render+MSE == composed render followed by the two squared
+    errors (sil SSE + masked color SSE), values AND gradients w.r.t. coords
+    and colors, including the (B,S,V,K) mask/image dedup index_maps."""
+    B, S, V, K = 2, 2, 2, 2
+    Pn = B * S * V * K
+    g = jnp.asarray(rng.uniform(-1, D, size=(Pn, N, 3)).astype(np.float32))
+    c = jnp.asarray(rng.uniform(size=(Pn, N, 3)).astype(np.float32))
+    sigma = jnp.asarray(rng.uniform(0.8, 1.6, size=(Pn,))
+                        .astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(B * V, D, D)) > 0.5)
+                        .astype(np.float32))
+    imgs = jnp.asarray(rng.uniform(size=(B * V, 3, D, D))
+                       .astype(np.float32))
+
+    def dedup(x):
+        m = x.reshape(B, 1, V, 1, *x.shape[1:])
+        m = jnp.broadcast_to(m, (B, S, V, K) + x.shape[1:])
+        return m.reshape(Pn, *x.shape[1:])
+
+    def ref_sse(gg, cc):
+        sil, img = _ref_rgb_render(gg, cc, sigma)
+        m, t = dedup(masks), dedup(imgs)
+        sse_s = jnp.sum((sil - m) ** 2, axis=(-2, -1))
+        sse_r = jnp.sum(jnp.sum((img - t) ** 2, axis=1) * m,
+                        axis=(-2, -1))
+        return jnp.stack([sse_s, sse_r], axis=-1)
+
+    sse_k = render_drc_rgb_mse_pallas_soa(*_soa(g), *_soa(c), sigma,
+                                          masks, imgs, (B, S, V, K), D,
+                                          RADIUS, CHUNK)
+    check_fwd(sse_k, ref_sse(g, c), "rgb_mse_fwd")
+    # weighted sum over both loss columns -> distinct per-pair cotangents,
+    # exercising both in-kernel seeds
+    w = jnp.asarray(rng.uniform(0.1, 2.0, size=(Pn, 2)).astype(np.float32))
+    gk, ck = jax.grad(
+        lambda gg, cc: jnp.sum(render_drc_rgb_mse_pallas_soa(
+            *_soa(gg), *_soa(cc), sigma, masks, imgs, (B, S, V, K), D,
+            RADIUS, CHUNK) * w), argnums=(0, 1))(g, c)
+    gr, cr = jax.grad(lambda gg, cc: jnp.sum(ref_sse(gg, cc) * w),
+                      argnums=(0, 1))(g, c)
+    check_grad(gk, gr, "rgb_mse_dcoords")
+    check_grad(ck, cr, "rgb_mse_dcolors")
+
+
+def test_fused_rgb_loss_matches_unfused(rng, monkeypatch):
+    """compute_loss through the fused RGB render+MSE kernel == the unfused
+    projector path (values + grads), known-pose AND pose-ensemble branches
+    with predict_rgb on."""
+    import tpu_unsup_pc.models.losses as L
+    from tpu_unsup_pc.models.model import DPCModel
+
+    cfg0 = presets.get("tiny").replace(vox_size=16, image_size=16,
+                                       point_chunk=SMALL_CHUNK,
+                                       use_pallas=True, predict_rgb=True,
+                                       source_views=1, num_views=2,
+                                       pc_num_points=SMALL_N,
+                                       enc_channels=(4, 8), fc_dims=(32,),
+                                       latent_dim=32)
+    for pose in (False, True):
+        cfg = cfg0.replace(predict_pose=pose, pose_candidates=2)
+        model = DPCModel(cfg=cfg)
+        B, V, H = 2, cfg.num_views, cfg.image_size
+        batch = {
+            "image": jnp.asarray(rng.uniform(size=(B, V, H, H, 3)),
+                                 jnp.float32),
+            "mask": jnp.asarray(rng.uniform(size=(B, V, H, H)) > 0.5,
+                                jnp.float32),
+            "azimuth": jnp.asarray(rng.uniform(0, 6.28, size=(B, V)),
+                                   jnp.float32),
+            "elevation": jnp.asarray(rng.uniform(-0.3, 0.9, size=(B, V)),
+                                     jnp.float32),
+        }
+        params = model.init(jax.random.PRNGKey(0), batch["image"])["params"]
+
+        def loss_of(params, fused):
+            monkeypatch.setattr(L, "fused_render_available",
+                                lambda c, has_rgb: fused)
+            out = model.apply({"params": params}, batch["image"])
+            return L.compute_loss(cfg, out, batch, 1.2)[0]
+
+        lf = float(loss_of(params, True))
+        lu = float(loss_of(params, False))
+        check_fwd(lf, lu, "fused_rgb_loss_value")
+        gf = jax.grad(lambda p: loss_of(p, True))(params)
+        gu = jax.grad(lambda p: loss_of(p, False))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gu)):
+            check_grad(a, b, "fused_rgb_loss_param_grad")
 
 
 def test_fused_mse_h_tiled(rng):
@@ -257,7 +361,7 @@ def test_fused_mse_h_tiled(rng):
                                 hat_correction=False)
     sil = 1.0 - jnp.prod(1.0 - jnp.clip(occ, 0, 1 - 1e-6), axis=0)
     ref = jnp.sum((sil - mask[0]) ** 2)
-    np.testing.assert_allclose(float(sse[0]), float(ref), rtol=GTOL)
+    check_fwd(float(sse[0]), float(ref), "mse_h_tiled_fwd")
     gk = jax.grad(lambda x: jnp.sum(render_drc_mse_pallas_soa(
         *_soa(x), sigma, mask, (1, 1, 1, 1), Dg, RADIUS, SMALL_CHUNK)))(g)
     occ_f = lambda x: splat_gauss_separable(x[0], Dg, 1.5, radius=RADIUS,
@@ -265,4 +369,4 @@ def test_fused_mse_h_tiled(rng):
     ref_f = lambda x: jnp.sum((1.0 - jnp.prod(
         1.0 - jnp.clip(occ_f(x), 0, 1 - 1e-6), axis=0) - mask[0]) ** 2)
     gr = jax.grad(ref_f)(g)
-    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=GTOL)
+    check_grad(gk, gr, "mse_h_tiled_grad")

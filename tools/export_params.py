@@ -20,14 +20,8 @@ import numpy as np
 
 
 def flatten_params(params, prefix=""):
-    out = {}
-    for k, v in params.items():
-        key = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
-            out.update(flatten_params(v, key))
-        else:
-            out[key] = np.asarray(v)
-    return out
+    from tpu_unsup_pc.utils.checkpoint import flatten_params as _fp
+    return _fp(params, prefix)
 
 
 def unflatten_params(flat):

@@ -15,10 +15,20 @@ for seed in $SEEDS; do
   dir=runs/c3_seed$seed
   mkdir -p "$dir"
   echo "=== probing seed $seed ==="
+  # fresh log per probe: append-mode reuse of train.out let a stale
+  # pose_acc_30deg line from a prior (possibly full-length) run in the
+  # same dir falsely declare takeoff
+  probe_log="$dir/probe_$(date +%s).out"
   python -m tpu_unsup_pc.train "${COMMON[@]}" --steps $STEPS_PROBE \
       --set seed=$seed --ckpt-dir "$dir/ckpt" --log-dir "$dir/logs" \
-      >> "$dir/train.out" 2>&1
-  acc=$(grep -o 'pose_acc_30deg=[0-9.]*' "$dir/train.out" | tail -1 | cut -d= -f2)
+      > "$probe_log" 2>&1
+  cat "$probe_log" >> "$dir/train.out"
+  acc=$(grep -o 'pose_acc_30deg=[0-9.]*' "$probe_log" | tail -1 | cut -d= -f2)
+  if [ -z "${acc:-}" ]; then
+    echo "seed $seed: NO pose_acc_30deg line in $probe_log (probe crashed?)"
+    tail -5 "$probe_log"
+    continue
+  fi
   echo "seed $seed: acc30=$acc"
   if python -c "exit(0 if float('${acc:-0}') > 0.14 else 1)"; then
     echo "=== seed $seed TAKES OFF — training to $STEPS_FULL ==="

@@ -4,7 +4,9 @@ interpret mode) and record a driver-visible artifact.
 
 The CI suite runs these same tests in interpret mode on CPU
 (tests/conftest.py); this script is the per-round proof that the compiled
-kernels still meet the atol~1e-4 equivalence contract on hardware.
+kernels still meet the scale-aware equivalence contract on hardware
+(max|a-ref| <= ABS + REL*max|ref|, constants + measured margins in
+tests/_tolerances.py).
 
     python tools/tpucheck.py --round 2      # writes TPUCHECK_r02.json
 """
@@ -26,8 +28,7 @@ CHECKS = [
       "tests/test_pallas_kernel.py", "tests/test_render_kernel.py"]),
     ("train_step_smoke",
      [sys.executable, "-m", "pytest", "-q", "--no-header",
-      "tests/test_train_integration.py"
-      "::test_loss_decreases_and_chamfer_beats_random"]),
+      "tests/test_train_integration.py::test_loss_decreases_and_chamfer_beats_random"]),
 ]
 
 

@@ -19,26 +19,42 @@ import jax
 import jax.numpy as jnp
 
 from tpu_unsup_pc.ops.chamfer import chamfer_l1
-from tpu_unsup_pc.ops.quaternion import quat_from_euler, quat_rotate
+from tpu_unsup_pc.ops.quaternion import (quat_from_euler, quat_multiply,
+                                         quat_rotate)
 
 
-@functools.partial(jax.jit, static_argnames=("n_az", "n_el"))
-def _align_rotation(pred, gt, n_az: int = 32, n_el: int = 5):
-    """Coarse grid search over global rotations (azimuth x elevation) that
-    minimizes chamfer of a subsampled cloud; returns the best-rotated pred.
-    vmapped over the candidate grid — one batched computation, no loops."""
-    az = jnp.linspace(0, 2 * jnp.pi, n_az, endpoint=False)
-    el = jnp.linspace(-0.6, 0.6, n_el)
-    azg, elg = jnp.meshgrid(az, el, indexing="ij")
-    quats = quat_from_euler(azg.ravel(), elg.ravel())      # (R, 4)
+@functools.partial(jax.jit, static_argnames=("n_az", "n_el", "n_roll"))
+def _align_rotation(pred, gt, n_az: int = 24, n_el: int = 7,
+                    n_roll: int = 8):
+    """Grid search over the FULL SO(3) gauge — azimuth x elevation x
+    in-plane roll — minimizing chamfer of a subsampled cloud, then a finer
+    local grid composed around the coarse argmin. A pose-free model's
+    canonical frame is arbitrary up to any rotation, including roll; the
+    old azimuth x elevation grid scored rolled frames pessimistically
+    (VERDICT r2 weak #8). Everything is vmapped over candidates — two
+    batched computations, no data-dependent control flow."""
     sub_p = pred[:: max(1, pred.shape[0] // 512)]
     sub_g = gt[:: max(1, gt.shape[0] // 512)]
 
     def score(q):
         return chamfer_l1(quat_rotate(q, sub_p), sub_g, chunk=128)
 
-    scores = jax.vmap(score)(quats)
-    best = quats[jnp.argmin(scores)]
+    az = jnp.linspace(0, 2 * jnp.pi, n_az, endpoint=False)
+    el = jnp.linspace(-jnp.pi / 2, jnp.pi / 2, n_el)
+    rl = jnp.linspace(0, 2 * jnp.pi, n_roll, endpoint=False)
+    azg, elg, rlg = jnp.meshgrid(az, el, rl, indexing="ij")
+    quats = quat_from_euler(azg.ravel(), elg.ravel(), rlg.ravel())
+    best = quats[jnp.argmin(jax.vmap(score)(quats))]
+
+    # refine: half-grid-step Euler perturbations composed onto the winner
+    da = jnp.linspace(-jnp.pi / n_az, jnp.pi / n_az, 5)
+    de = jnp.linspace(-jnp.pi / (2 * (n_el - 1)),
+                      jnp.pi / (2 * (n_el - 1)), 3)
+    dr = jnp.linspace(-jnp.pi / n_roll, jnp.pi / n_roll, 5)
+    dag, deg, drg = jnp.meshgrid(da, de, dr, indexing="ij")
+    dq = quat_from_euler(dag.ravel(), deg.ravel(), drg.ravel())
+    cand = quat_multiply(dq, best[None])
+    best = cand[jnp.argmin(jax.vmap(score)(cand))]
     return quat_rotate(best, pred)
 
 

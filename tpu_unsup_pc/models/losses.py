@@ -27,7 +27,8 @@ from tpu_unsup_pc.ops.camera import Camera
 from tpu_unsup_pc.ops.project import (fused_render_available,
                                       project_pointclouds_batched,
                                       render_silhouettes_fused,
-                                      render_sse_fused)
+                                      render_sse_fused,
+                                      render_sse_rgb_fused)
 from tpu_unsup_pc.ops.quaternion import quat_from_euler
 from tpu_unsup_pc.utils.config import Config
 
@@ -101,19 +102,40 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
     N = cfg.pc_num_points
     points = output.cloud.points[:, :S]                     # (B,S,N,3)
     rgb = output.cloud.rgb[:, :S] if output.cloud.rgb is not None else None
+    scale_metrics = {}
     if output.cloud.scale is not None:
         assert not cfg.use_pallas, (
             "predict_scale routes sigma-gradients through the splat; the "
             "Pallas kernel does not emit dsigma — use the XLA path")
         sigma_src = sigma * output.cloud.scale[:, :S]       # (B,S)
+        scale_metrics = {"scale_mean": jnp.mean(output.cloud.scale),
+                         "scale_std": jnp.std(output.cloud.scale)}
     else:
         sigma_src = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (B, S))
 
     fuse_mse = rgb is None and fused_render_available(cfg, has_rgb=False)
+    fuse_rgb = rgb is not None and fused_render_available(cfg,
+                                                          has_rgb=True)
 
     if not cfg.predict_pose:
         cams = _gt_cameras(cfg, batch)                      # fields (B,V)
         pw = _pair_weights(cfg, S, V)[None]                 # (1,S,V)
+        if fuse_rgb:
+            # fused RGB render + both losses: neither silhouettes nor
+            # composited images ever leave VMEM (the c5 fast path)
+            sse = render_sse_rgb_fused(
+                points, rgb, cams.quat[:, :, None],
+                cams.distance[:, :, None], sigma_src, batch["mask"],
+                batch["image"], cfg)[:, :, :, 0]            # (B,S,V,2)
+            H = W = cfg.vox_size
+            loss_sil = _wmean(sse[..., 0] / (H * W), pw)
+            mask_sum = jnp.sum(batch["mask"], axis=(-2, -1))     # (B,V)
+            num = jnp.sum(sse[..., 1] * pw)
+            den = jnp.maximum(jnp.sum(mask_sum[:, None] * pw), 1.0)
+            loss_rgb = num / den
+            total = loss_sil + cfg.rgb_loss_weight * loss_rgb
+            return total, {"loss_sil": loss_sil, "loss_rgb": loss_rgb,
+                           "loss": total, **scale_metrics}
         if fuse_mse:
             # fused render+MSE kernel: silhouettes never leave VMEM
             sse = render_sse_fused(points, cams.quat[:, :, None],
@@ -121,8 +143,8 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
                                    batch["mask"], cfg)[..., 0]  # (B,S,V)
             H = W = cfg.vox_size
             loss_sil = _wmean(sse / (H * W), pw)
-            metrics = {"loss_sil": loss_sil}
-            metrics["loss"] = loss_sil
+            metrics = {"loss_sil": loss_sil, "loss": loss_sil,
+                       **scale_metrics}
             return loss_sil, metrics
         shape = (B, S, V)
         pts_f = _flat(points[:, :, None], shape)            # (BSV, N, 3)
@@ -136,7 +158,7 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
         sils = sils.reshape(B, S, V, H, W)
         mask_t = batch["mask"][:, None]                     # (B,1,V,H,W)
         loss_sil = _wmean(jnp.mean((sils - mask_t) ** 2, axis=(-2, -1)), pw)
-        metrics = {"loss_sil": loss_sil}
+        metrics = {"loss_sil": loss_sil, **scale_metrics}
         total = loss_sil
         if rgb is not None:
             rgb_imgs = rgb_imgs.reshape(B, S, V, H, W, 3)
@@ -161,7 +183,17 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
     else:
         dist = jnp.full((B, V, K), cfg.camera_distance, jnp.float32)
 
-    if fuse_mse:
+    rgb_pair = None
+    if fuse_rgb:
+        sse = render_sse_rgb_fused(points, rgb, cand, dist, sigma_src,
+                                   batch["mask"], batch["image"],
+                                   cfg)                      # (B,S,V,K,2)
+        H = W = cfg.vox_size
+        sil_pair = sse[..., 0] / (H * W)
+        mask_sum = jnp.sum(batch["mask"], axis=(-2, -1))     # (B,V)
+        rgb_pair = sse[..., 1] / jnp.maximum(
+            mask_sum[:, None, :, None], 1.0)
+    elif fuse_mse:
         sse = render_sse_fused(points, cand, dist, sigma_src,
                                batch["mask"], cfg)           # (B,S,V,K)
         H = W = cfg.vox_size
@@ -180,18 +212,16 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
         sils = sils.reshape(B, S, V, K, H, W)
         mask_t = batch["mask"][:, None, :, None]             # (B,1,V,1,H,W)
         sil_pair = jnp.mean((sils - mask_t) ** 2, axis=(-2, -1))
-    pair_losses = sil_pair                                   # (B,S,V,K)
-
-    rgb_pair = None
-    if rgb is not None:
-        rgb_imgs = rgb_imgs.reshape(B, S, V, K, H, W, 3)
-        img_t = batch["image"][:, None, :, None]
-        mask_b = jnp.broadcast_to(mask_t, sils.shape)
-        err = jnp.sum((rgb_imgs - img_t) ** 2, axis=-1) * mask_b
-        rgb_pair = (jnp.sum(err, axis=(-2, -1))
-                    / jnp.maximum(jnp.sum(mask_b, axis=(-2, -1)), 1.0))
-        # candidate selection uses the combined objective
-        pair_losses = sil_pair + cfg.rgb_loss_weight * rgb_pair
+        if rgb is not None:
+            rgb_imgs = rgb_imgs.reshape(B, S, V, K, H, W, 3)
+            img_t = batch["image"][:, None, :, None]
+            mask_b = jnp.broadcast_to(mask_t, sils.shape)
+            err = jnp.sum((rgb_imgs - img_t) ** 2, axis=-1) * mask_b
+            rgb_pair = (jnp.sum(err, axis=(-2, -1))
+                        / jnp.maximum(jnp.sum(mask_b, axis=(-2, -1)), 1.0))
+    # candidate selection uses the combined objective
+    pair_losses = sil_pair if rgb_pair is None \
+        else sil_pair + cfg.rgb_loss_weight * rgb_pair       # (B,S,V,K)
 
     # teacher: min-loss candidate per (b, t) target view, aggregated over
     # sources — a per-(s,t) argmin can pick DIFFERENT candidates for the
@@ -231,7 +261,8 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
         sil_pair, best_k[:, None, :, None], axis=-1)[..., 0]
     metrics = {"loss_teacher": loss_teacher,
                "loss_sil": _wmean(sel_sil, pw[None]),
-               "loss_student": loss_student, "loss": total}
+               "loss_student": loss_student, "loss": total,
+               **scale_metrics}
     if rgb_pair is not None:
         sel_rgb = jnp.take_along_axis(
             rgb_pair, best_k[:, None, :, None], axis=-1)[..., 0]

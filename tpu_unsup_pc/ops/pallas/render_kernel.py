@@ -396,36 +396,11 @@ def _run_rgb_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, D, radius, chunk,
     return sil, img
 
 
-def _rgb_bwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
-                        cb_ref, gsil_ref, gimg_ref, dgz_ref, dgy_ref,
-                        dgx_ref, dcr_ref, dcg_ref, dcb_ref, occ_s, r_s,
-                        g_s, b_s, t_s, *, D, HT, radius, chunk, bf16):
-    p = pl.program_id(0)
-    ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
-    inv2s2 = 0.5 / (sigma * sigma)
-    inv_s2 = 2.0 * inv2s2
-    h0 = (ht * HT).astype(jnp.float32)
-
-    @pl.when(ht == 0)
-    def _():
-        for ref in (dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref):
-            ref[...] = jnp.zeros_like(ref)
-
-    accs = (occ_s, r_s, g_s, b_s)
-    for a in accs:
-        a[...] = jnp.zeros_like(a)
-    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
-                        cb_ref, sigma, D, HT, radius, chunk, h0, bf16)
-
-    def fwd_sweep(d, trans):
-        t_s[pl.ds(d * HT, HT), :] = trans
-        v = jnp.clip(occ_s[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
-        return trans * (1.0 - v)
-
-    jax.lax.fori_loop(0, D, fwd_sweep, jnp.ones((HT, D), jnp.float32))
-    gsil = gsil_ref[0]
-    gimg = gimg_ref[0]
+def _rgb_rev_sweep(occ_s, r_s, g_s, b_s, t_s, gsil, gimg, D, HT):
+    """Reverse depth sweep of the expected-color compositing: converts the
+    four grid accumulators IN PLACE into splat cotangents (occ_s <- dL/docc,
+    r_s/g_s/b_s <- dL/dcolor-grid), given the silhouette and image
+    cotangents and the stored per-depth transmittances t_s."""
 
     def rev_sweep(i, dT):
         d = D - 1 - i
@@ -450,6 +425,15 @@ def _rgb_bwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
 
     jax.lax.fori_loop(0, D, rev_sweep, -gsil)
 
+
+def _rgb_grad_chunks(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
+                     dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref,
+                     occ_s, r_s, g_s, b_s, inv2s2, h0, D, HT, radius,
+                     chunk, bf16):
+    """Per-chunk splat backward against the four cotangent grids left in
+    the scratch accumulators by _rgb_rev_sweep; accumulates the six (P, N)
+    coordinate/color gradients across H-tiles."""
+    inv_s2 = 2.0 * inv2s2
     n_chunks = gz_ref.shape[2] // chunk
 
     def body(c, _):
@@ -490,6 +474,41 @@ def _rgb_bwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _rgb_bwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
+                        cb_ref, gsil_ref, gimg_ref, dgz_ref, dgy_ref,
+                        dgx_ref, dcr_ref, dcg_ref, dcb_ref, occ_s, r_s,
+                        g_s, b_s, t_s, *, D, HT, radius, chunk, bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        for ref in (dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    accs = (occ_s, r_s, g_s, b_s)
+    for a in accs:
+        a[...] = jnp.zeros_like(a)
+    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
+                        cb_ref, sigma, D, HT, radius, chunk, h0, bf16)
+
+    def fwd_sweep(d, trans):
+        t_s[pl.ds(d * HT, HT), :] = trans
+        v = jnp.clip(occ_s[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    jax.lax.fori_loop(0, D, fwd_sweep, jnp.ones((HT, D), jnp.float32))
+    _rgb_rev_sweep(occ_s, r_s, g_s, b_s, t_s, gsil_ref[0], gimg_ref[0],
+                   D, HT)
+    _rgb_grad_chunks(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
+                     dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref,
+                     occ_s, r_s, g_s, b_s, inv2s2, h0, D, HT, radius,
+                     chunk, bf16)
 
 
 def _run_rgb_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, gsil, gimg, D, radius,
@@ -773,3 +792,243 @@ def _mse_soa_vjp_bwd(pair_shape, vox_size, radius, chunk, bf16, res, gsse):
 
 
 render_drc_mse_pallas_soa.defvjp(_mse_soa_vjp_fwd, _mse_soa_vjp_bwd)
+
+
+# ===================================================================
+# Fused RGB render + MSE: neither silhouettes NOR composited images ever
+# leave VMEM — the c5 training path. Per (pair, H-tile) the forward splats
+# the four grids (occ + 3 color channels), runs the expected-color collapse,
+# and emits only per-row sums of (sil - mask)^2 and of the MASKED color
+# squared error sum_c (img_c - target_c)^2 * mask. The backward recomputes
+# the tile, reruns the collapse to rebuild img, seeds BOTH cotangents
+# in-kernel (gsil = g0 * 2 * (sil - mask); gimg_c = g1 * 2 * (img_c -
+# target_c) * mask) and reuses the shared reverse sweep + chunk backward.
+# Masks and target images stay compact (B*V, ...) — the S*K pairs per
+# target view read the same blocks via the index_maps.
+#
+# Removes, per pair vs the unfused c5 path: the sil + img HBM writes and
+# reads, their cotangent round-trips, and the XLA-side (P, H, W[, 3])
+# mask/image broadcasts. Pair convention p = ((b*S+s)*V+t)*K+k, as in
+# render_drc_mse_pallas_soa.
+# ===================================================================
+
+def _imgt_index_map(S, V, K):
+    """(p, ht) -> block index of the compact (B*V, 3, H, W) target images."""
+    def index_map(p, ht):
+        b = p // (S * V * K)
+        t = (p // K) % V
+        return b * V + t, 0, ht, 0
+    return index_map
+
+
+def _rgb_mse_fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref,
+                            cg_ref, cb_ref, mask_ref, imgt_ref, sse_ref,
+                            occ_s, r_s, g_s, b_s, *, D, HT, radius, chunk,
+                            bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    accs = (occ_s, r_s, g_s, b_s)
+    for a in accs:
+        a[...] = jnp.zeros_like(a)
+    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
+                        cb_ref, sigma, D, HT, radius, chunk,
+                        (ht * HT).astype(jnp.float32), bf16)
+
+    def body(d, carry):
+        trans, img = carry
+        raw = occ_s[pl.ds(d * HT, HT), :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        w = v * trans
+        denom = jnp.maximum(raw, _ONORM_EPS)
+        img = img + jnp.stack([
+            w * r_s[pl.ds(d * HT, HT), :] / denom,
+            w * g_s[pl.ds(d * HT, HT), :] / denom,
+            w * b_s[pl.ds(d * HT, HT), :] / denom])
+        return trans * (1.0 - v), img
+
+    trans, img = jax.lax.fori_loop(
+        0, D, body, (jnp.ones((HT, D), jnp.float32),
+                     jnp.zeros((3, HT, D), jnp.float32)))
+    mask = mask_ref[0]
+    err_s = (1.0 - trans) - mask
+    err_i = img - imgt_ref[0]                             # (3, HT, W)
+    # two (W,) row sums land in sublanes 0 (sil) and 1 (rgb) of the
+    # (8, W)-aligned output block (same alignment rule as the sil-only
+    # MSE kernel: a sub-(8, W) block fails Mosaic lowering at D//HT > 1)
+    sse_ref[...] = jnp.zeros_like(sse_ref)
+    sse_ref[0, 0, 0, :] = jnp.sum(err_s * err_s, axis=0)
+    sse_ref[0, 0, 1, :] = jnp.sum(jnp.sum(err_i * err_i, axis=0) * mask,
+                                  axis=0)
+
+
+def _run_rgb_mse_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
+                         S, V, K, D, radius, chunk, bf16):
+    P, N = gz.shape
+    HT = _h_tile_rgb(D)
+    chunk = _chunk_budget(D, HT, chunk, live=2,
+                          reserve=4 * D * HT * D * 4)
+    ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
+    spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                        memory_space=pltpu.VMEM)
+    sse = pl.pallas_call(
+        functools.partial(_rgb_mse_fwd_kernel_soa, D=D, HT=HT,
+                          radius=radius, chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 6 + [
+            pl.BlockSpec((1, HT, D), _mask_index_map(S, V, K),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, HT, D), _imgt_index_map(S, V, K),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 8, D), lambda p, h: (p, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, D // HT, 8, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
+                        for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * P * N * D * D * D,
+            bytes_accessed=P * (N * 24 + D * D * 16),
+            transcendentals=P * N * (D * D + D)),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), *ops, masks, images)
+    s = jnp.sum(sse, axis=(1, 3))                         # (P, 8)
+    return s[:, :2]                                       # (P, 2)
+
+
+def _rgb_mse_bwd_kernel_soa(sigma_ref, gsse_ref, gz_ref, gy_ref, gx_ref,
+                            cr_ref, cg_ref, cb_ref, mask_ref, imgt_ref,
+                            dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref,
+                            dcb_ref, occ_s, r_s, g_s, b_s, t_s, *, D, HT,
+                            radius, chunk, bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        for ref in (dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    accs = (occ_s, r_s, g_s, b_s)
+    for a in accs:
+        a[...] = jnp.zeros_like(a)
+    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
+                        cb_ref, sigma, D, HT, radius, chunk, h0, bf16)
+
+    # forward sweep: transmittances into t_s AND the composited image
+    # (needed to seed gimg — the sil-only kernel's sweep skips it)
+    def fwd_sweep(d, carry):
+        trans, img = carry
+        sl = pl.ds(d * HT, HT)
+        t_s[sl, :] = trans
+        raw = occ_s[sl, :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        w = v * trans
+        denom = jnp.maximum(raw, _ONORM_EPS)
+        img = img + jnp.stack([
+            w * r_s[sl, :] / denom,
+            w * g_s[sl, :] / denom,
+            w * b_s[sl, :] / denom])
+        return trans * (1.0 - v), img
+
+    trans, img = jax.lax.fori_loop(
+        0, D, fwd_sweep, (jnp.ones((HT, D), jnp.float32),
+                          jnp.zeros((3, HT, D), jnp.float32)))
+    mask = mask_ref[0]
+    # in-kernel loss seeds: d sse_sil/d sil and d sse_rgb/d img
+    gsil = gsse_ref[p, 0] * 2.0 * ((1.0 - trans) - mask)
+    gimg = gsse_ref[p, 1] * 2.0 * (img - imgt_ref[0]) * mask[None]
+    _rgb_rev_sweep(occ_s, r_s, g_s, b_s, t_s, gsil, gimg, D, HT)
+    _rgb_grad_chunks(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
+                     dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref,
+                     occ_s, r_s, g_s, b_s, inv2s2, h0, D, HT, radius,
+                     chunk, bf16)
+
+
+def _run_rgb_mse_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
+                         gsse, S, V, K, D, radius, chunk, bf16):
+    P, N = gz.shape
+    HT = _h_tile_rgb(D)
+    chunk = _chunk_budget(D, HT, chunk, live=20,
+                          reserve=5 * D * HT * D * 4,
+                          budget=56 * 2 ** 20)
+    ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
+    spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((P, 1, N), jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_rgb_mse_bwd_kernel_soa, D=D, HT=HT,
+                          radius=radius, chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [spec] * 6 + [
+            pl.BlockSpec((1, HT, D), _mask_index_map(S, V, K),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, HT, D), _imgt_index_map(S, V, K),
+                         memory_space=pltpu.VMEM)],
+        out_specs=tuple([spec] * 6),
+        out_shape=tuple([shp] * 6),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
+                        for _ in range(5)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), gsse, *ops, masks, images)
+    return tuple(o.reshape(P, N) for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def render_drc_rgb_mse_pallas_soa(gz, gy, gx, cr, cg, cb, sigma, masks,
+                                  images, pair_shape: tuple,
+                                  vox_size: int, radius: int = 13,
+                                  chunk: int = 512,
+                                  bf16: bool = False) -> jnp.ndarray:
+    """Fused RGB render + squared-error reductions.
+
+    Args:
+      gz/gy/gx: (P, N) fractional grid coords, P = B*S*V*K flattened as
+        ((b*S+s)*V+t)*K+k; N a chunk multiple (pad with large negatives).
+      cr/cg/cb: (P, N) per-point colors (pad with zeros).
+      sigma: (P,) per-pair footprint std.
+      masks: (B*V, H, W) target masks, flattened b*V+t.
+      images: (B*V, 3, H, W) target images, flattened b*V+t.
+      pair_shape: static (B, S, V, K).
+
+    Returns (P, 2): [:, 0] = sum (sil - mask)^2 over pixels, [:, 1] =
+    sum_c (img_c - target_c)^2 * mask. Differentiable w.r.t. coords and
+    colors (analytic in-kernel seeds); sigma/masks/images get zero
+    cotangents."""
+    B, S, V, K = pair_shape
+    return _run_rgb_mse_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks,
+                                images, S, V, K, vox_size, radius, chunk,
+                                bf16)
+
+
+def _rgb_mse_soa_vjp_fwd(gz, gy, gx, cr, cg, cb, sigma, masks, images,
+                         pair_shape, vox_size, radius, chunk, bf16):
+    sse = render_drc_rgb_mse_pallas_soa(gz, gy, gx, cr, cg, cb, sigma,
+                                        masks, images, pair_shape,
+                                        vox_size, radius, chunk, bf16)
+    return sse, (gz, gy, gx, cr, cg, cb, sigma, masks, images)
+
+
+def _rgb_mse_soa_vjp_bwd(pair_shape, vox_size, radius, chunk, bf16, res,
+                         gsse):
+    gz, gy, gx, cr, cg, cb, sigma, masks, images = res
+    B, S, V, K = pair_shape
+    grads = _run_rgb_mse_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks,
+                                 images, gsse, S, V, K, vox_size, radius,
+                                 chunk, bf16)
+    return grads + (jnp.zeros_like(sigma), jnp.zeros_like(masks),
+                    jnp.zeros_like(images))
+
+
+render_drc_rgb_mse_pallas_soa.defvjp(_rgb_mse_soa_vjp_fwd,
+                                     _rgb_mse_soa_vjp_bwd)

@@ -117,7 +117,7 @@ def fused_render_available(cfg: Config, has_rgb: bool) -> bool:
     del has_rgb  # both silhouette-only and RGB variants exist
     return (cfg.use_pallas and cfg.splat_mode == "gauss"
             and cfg.proj_mode == "drc" and cfg.clip_voxels
-            and jax.default_backend() == "tpu")
+            and (cfg.force_fused or jax.default_backend() == "tpu"))
 
 
 def render_silhouettes_fused(points: jnp.ndarray, cams: Camera, sigma,
@@ -205,6 +205,63 @@ def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
         gz, gy, gx, sigma_k, masks.reshape(B * V, *masks.shape[-2:]),
         (B, S, V, K), D, radius, cfg.point_chunk, cfg.pallas_bf16)
     return sse.reshape(B, S, V, K)
+
+
+def render_sse_rgb_fused(points: jnp.ndarray, rgb: jnp.ndarray,
+                         quats: jnp.ndarray, dists: jnp.ndarray,
+                         sigma: jnp.ndarray, masks: jnp.ndarray,
+                         images: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Fused RGB render + squared errors for every (source, target
+    [, candidate]) pair — the c5 training fast path.
+
+    Args:
+      points: (B, S, N, 3) world-frame source clouds.
+      rgb:    (B, S, N, 3) per-point colors.
+      quats:  (B, V, K, 4) target camera rotations (K=1 for known pose).
+      dists:  (B, V, K) camera distances.
+      sigma:  (B, S) splat sigmas.
+      masks:  (B, V, H, W) target masks.
+      images: (B, V, H, W, 3) target images.
+
+    Returns (B, S, V, K, 2): [..., 0] silhouette SSE, [..., 1] masked RGB
+    SSE (sum_c (img_c - target_c)^2 * mask). Neither silhouettes nor
+    composited images ever exist in HBM; masks/images stay compact
+    (B*V, ...) deduplicated by the kernel's index_maps."""
+    from tpu_unsup_pc.ops.pallas.render_kernel import (
+        render_drc_rgb_mse_pallas_soa)
+    B, S, N = points.shape[:3]
+    V, K = quats.shape[1], quats.shape[2]
+    D = cfg.vox_size
+    radius = static_gauss_radius(max(cfg.sigma_start, cfg.sigma_end))
+    cams = Camera(quat=quats[:, None],                       # (B,1,V,K,4)
+                  distance=dists[:, None],
+                  focal=jnp.full(dists[:, None].shape, cfg.focal_length,
+                                 jnp.float32))
+    gz, gy, gx = world_to_grid_soa(
+        points[..., 0][:, :, None, None],                    # (B,S,1,1,N)
+        points[..., 1][:, :, None, None],
+        points[..., 2][:, :, None, None], cams, D, cfg.depth_extent)
+    P = B * S * V * K
+    gz, gy, gx = (c.reshape(P, N) for c in (gz, gy, gx))
+    # colors don't depend on the target camera: broadcast to pairs
+    cr, cg, cb = (jnp.broadcast_to(rgb[..., i][:, :, None, None],
+                                   (B, S, V, K, N)).reshape(P, N)
+                  for i in range(3))
+    pad = (-N) % cfg.point_chunk
+    if pad:
+        gz, gy, gx = (jnp.pad(c, ((0, 0), (0, pad)), constant_values=-1e6)
+                      for c in (gz, gy, gx))
+        cr, cg, cb = (jnp.pad(c, ((0, 0), (0, pad)))
+                      for c in (cr, cg, cb))
+    sigma_p = jnp.broadcast_to(sigma[:, :, None, None],
+                               (B, S, V, K)).reshape(P)
+    sigma_k = jnp.sqrt(sigma_p ** 2 + 1.0 / 6.0)    # hat-variance corr.
+    H, W = masks.shape[-2:]
+    sse = render_drc_rgb_mse_pallas_soa(
+        gz, gy, gx, cr, cg, cb, sigma_k, masks.reshape(B * V, H, W),
+        jnp.moveaxis(images, -1, 2).reshape(B * V, 3, H, W),
+        (B, S, V, K), D, radius, cfg.point_chunk, cfg.pallas_bf16)
+    return sse.reshape(B, S, V, K, 2)
 
 
 def project_pointclouds_batched(points: jnp.ndarray, cams: Camera, sigma,

@@ -62,6 +62,14 @@ def _state_from_npz(cfg, path):
         node[parts[-1]] = jnp.asarray(v)
     state = training.init_state(cfg)
     ref = jax.tree_util.tree_structure(state.params)
+    got = jax.tree_util.tree_structure(tree)
+    if got != ref:
+        # leaves are paired positionally below, so a structural mismatch
+        # (renamed/missing/extra keys from a different preset's export)
+        # would load silently into the wrong slots — fail loudly instead
+        raise ValueError(
+            f"params in {path} do not match preset '{cfg.name}': "
+            f"npz tree {got} vs expected {ref}")
     params = jax.tree_util.tree_unflatten(
         ref, jax.tree_util.tree_leaves(tree))
     return state.replace(params=params, step=step), step

@@ -10,7 +10,9 @@ prefetch, metric logging, and async checkpointing. Resume-by-default from
 from __future__ import annotations
 
 import argparse
+import json
 import math
+import os
 
 import numpy as np
 
@@ -54,6 +56,18 @@ def parse_args(argv=None):
                         "predict_pose presets on datasets that expose "
                         "images/azimuth/elevation arrays (synthetic)")
     p.add_argument("--pose-eval-models", type=int, default=64)
+    p.add_argument("--pose-eval-split", default="train",
+                   choices=("train", "val", "test"),
+                   help="dataset split for the in-train pose eval; use "
+                        "'val' (unseen shapes) when the eval drives "
+                        "best-checkpoint selection")
+    p.add_argument("--best-ckpt-metric", default=None,
+                   choices=("pose_acc_30deg", "val_loss"),
+                   help="track this eval metric and export the best "
+                        "state's params to <ckpt-dir>/best_params.npz "
+                        "whenever it improves (VERDICT r2: the c3 run "
+                        "degraded past its in-train peak with no "
+                        "selection mechanism)")
     p.add_argument("--trace-dir", default=None,
                    help="jax.profiler trace output dir")
     p.add_argument("--tensorboard", action="store_true")
@@ -161,15 +175,41 @@ def main(argv=None):
     if (args.pose_eval_every > 0 and cfg.predict_pose
             and hasattr(dataset, "images")):
         from tpu_unsup_pc.eval_pose import evaluate_state_poses
-        _m = min(args.pose_eval_models, len(dataset))
-        _imgs, _az, _el = (dataset.images[:_m], dataset.azimuth[:_m],
-                           dataset.elevation[:_m])
+        if args.pose_eval_split == "train":
+            pose_ds = dataset
+        else:  # unseen shapes: an unbiased best-checkpoint selector
+            pose_ds = make_dataset(
+                cfg, split=args.pose_eval_split,
+                **{"num_models": args.pose_eval_models}
+                if cfg.dataset == "synthetic" else {})
+        _m = min(args.pose_eval_models, len(pose_ds))
+        _imgs, _az, _el = (pose_ds.images[:_m], pose_ds.azimuth[:_m],
+                           pose_ds.elevation[:_m])
 
         def pose_eval(state):
             r = evaluate_state_poses(cfg, state, _imgs, _az, _el)
             return {"pose_err_median_deg": r["pose_err_median_deg"],
                     "pose_acc_30deg": r["pose_acc_30deg"],
                     "pose_best_head_med_deg": r["best_head_med_deg"]}
+
+    # best-checkpoint selection (--best-ckpt-metric): export params as a
+    # durable npz whenever the tracked eval metric improves
+    best = {"value": None}
+
+    def track_best(value, step, state):
+        hb = args.best_ckpt_metric != "val_loss"   # higher-is-better?
+        prev = best["value"]
+        if prev is not None and (value <= prev if hb else value >= prev):
+            return
+        best.update(value=value, step=step)
+        from tpu_unsup_pc.utils.checkpoint import save_params_npz
+        save_params_npz(state, os.path.join(cfg.ckpt_dir,
+                                            "best_params.npz"))
+        with open(os.path.join(cfg.ckpt_dir, "best.json"), "w") as f:
+            json.dump({"metric": args.best_ckpt_metric,
+                       "value": float(value), "step": int(step)}, f)
+        print(f"[step {step}] new best {args.best_ckpt_metric}="
+              f"{value:.4g} -> best_params.npz", flush=True)
 
     n_steps = cfg.max_steps - start
     ppv = (cfg.batch_size * (cfg.source_views or cfg.num_views)
@@ -194,6 +234,11 @@ def main(argv=None):
 
         idx_rng = np.random.default_rng(cfg.seed + 0x5eed)
         n_models = len(dataset)
+        if start:
+            # fast-forward past the draws a fresh run would have consumed,
+            # so a resumed run continues the same index sequence instead of
+            # replaying it from the beginning
+            idx_rng.integers(0, n_models, size=(start, cfg.batch_size))
 
         def batches_iter():
             for _ in range(n_steps):
@@ -231,8 +276,13 @@ def main(argv=None):
                                                   for m in vals]))
                        for k in vals[0]}
                 logger.log(step, val)
+                if args.best_ckpt_metric == "val_loss":
+                    track_best(val["val_loss"], step, state)
             if pose_eval is not None and step % args.pose_eval_every == 0:
-                logger.log(step, pose_eval(state))
+                pm = pose_eval(state)
+                logger.log(step, pm)
+                if args.best_ckpt_metric == "pose_acc_30deg":
+                    track_best(pm["pose_acc_30deg"], step, state)
             if step % cfg.ckpt_every == 0 or step == cfg.max_steps:
                 ckpt.save(state, cfg)
     ckpt.wait()

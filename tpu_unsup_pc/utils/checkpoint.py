@@ -24,6 +24,30 @@ def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
             enable_async_checkpointing=True))
 
 
+def flatten_params(params, prefix=""):
+    """Nested param dict -> flat {'a/b/c': np.ndarray} (the durable .npz
+    layout tools/export_params.py writes and predict.py --params-npz
+    reads)."""
+    import numpy as np
+    out = {}
+    for k, v in params.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten_params(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def save_params_npz(state: training.TrainState, path: str) -> None:
+    """Write params (+step) as a standalone compressed .npz — the durable,
+    committable artifact format (orbax dirs are gitignored scratch)."""
+    import numpy as np
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, __step__=np.asarray(int(state.step)),
+                        **flatten_params(state.params))
+
+
 class CheckpointManager:
     """Thin wrapper: save(state), restore_latest(cfg) -> (state, step)."""
 

@@ -109,6 +109,10 @@ class Config:
     mesh_shape: Tuple[int, ...] = (1,)       # data-parallel mesh, e.g. (8,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     use_pallas: bool = False       # fused Pallas splat kernel (speed retrofit)
+    # run the fused Pallas render paths even off-TPU (interpret mode) —
+    # used by the sharding tests / multichip dryrun to prove the custom-VJP
+    # kernels compose with SPMD batch sharding on the virtual CPU mesh
+    force_fused: bool = False
     pallas_bf16: bool = False      # bf16 MXU inputs in the fused render
     point_chunk: int = 512         # chunk size for the separable-matmul splat
 
