@@ -77,11 +77,14 @@ def bench_jax(use_pallas: bool = True) -> float:
         return jnp.mean((sils - masks[:, None]) ** 2)
 
     step = jax.jit(jax.grad(loss_fn))
-    step(points).block_until_ready()          # compile + warm
+    # sync by fetching a scalar: through the axon tunnel,
+    # block_until_ready can return before the program finishes when
+    # nothing has been fetched yet (see CLAUDE.md timing note)
+    float(step(points)[0, 0, 0])              # compile + warm
     t0 = time.perf_counter()
     for _ in range(ITERS):
         g = step(points)
-    g.block_until_ready()
+    float(g[0, 0, 0])
     dt = (time.perf_counter() - t0) / ITERS
     n_chips = 1  # bench runs on the single real chip
     # rate of (point, view)-pair renders: B*V^2 pairs per step (all-pairs

@@ -27,16 +27,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _time(fn, *args, iters=20, warmup=2):
+def _sync(out):
+    """True device sync: fetch one scalar element of the first output leaf.
+    (block_until_ready through the axon tunnel returns before the program
+    finishes — measured 0.3ms for a 150ms step; a host fetch of a value
+    data-dependent on the program cannot lie.)"""
     import jax
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
+def _time(fn, *args, iters=20, warmup=2):
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

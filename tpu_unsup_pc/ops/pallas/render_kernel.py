@@ -954,7 +954,7 @@ def _run_rgb_mse_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
                          gsse, S, V, K, D, radius, chunk, bf16):
     P, N = gz.shape
     HT = _h_tile_rgb(D)
-    chunk = _chunk_budget(D, HT, chunk, live=20,
+    chunk = _chunk_budget(D, HT, chunk, live=12,
                           reserve=5 * D * HT * D * 4,
                           budget=56 * 2 ** 20)
     ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
