@@ -30,7 +30,7 @@ WHICH=${*:-"c1 c2 c4 c5"}
 for which in $WHICH; do
   case $which in
     c1) run_one c1_quality c1_synth 12000 ;;
-    c2) run_one c2_quality c2_synth 8000 ;;
+    c2) run_one c2_quality c2_synth 12000 ;;
     c4) run_one c4_quality c4_synth 6000 ;;
     c5) run_one c5_quality c5_synth 4000 --set "mesh_shape=[1]" ;;
   esac

@@ -795,6 +795,341 @@ render_drc_mse_pallas_soa.defvjp(_mse_soa_vjp_fwd, _mse_soa_vjp_bwd)
 
 
 # ===================================================================
+# Depth-BANDED fused render + MSE — the 128^3 kernel (profile_r3.md #3):
+# the dense (chunk, D*HT) pair weight computes exp() for all D depth rows
+# while the Gaussian support is only +-radius cells, so at 128^3 >90% of
+# the weight matrix (and of both backward matmuls) is numerically zero.
+#
+# Here points arrive SORTED by depth per pair; each point-chunk gets a
+# dynamic depth window [d0, d0+DB) of STATIC width DB (d0 per (pair,
+# chunk) from SMEM, clamped so the window stays in-grid). The chunk's
+# weights are computed only over (chunk, DB*HT) and accumulated into the
+# window's rows of the full (D*HT, W) accumulator (dynamic sublane start,
+# always HT-aligned). Both backward matmuls contract against the same
+# window of the cotangent grid. Exp + MXU work shrink by DB/D (2.7x at
+# DB=48, D=128) in fwd AND bwd, and the smaller live buffers let the
+# backward run at 2x the dense chunk.
+#
+# Exactness contract: a chunk is representable iff every in-range point's
+# +-margin support lies inside its window; contributions beyond `margin`
+# cells are truncated (margin = radius + 2, where weights are < ~1e-8 x
+# the per-point max — below the kernel tolerance contract). Callers use
+# render_drc_mse_auto, which sorts, checks every chunk's depth span
+# against the band budget, and lax.cond-falls back to the dense kernel on
+# the (rare, data-dependent) step where a sorted chunk straddles a depth
+# gap wider than DB - 2*margin.
+# ===================================================================
+
+def _band_chunks(D: int, band: int, HT: int, chunk: int):
+    """(fwd, bwd) chunk sizes for the banded kernels — the live buffers
+    are (chunk, band*HT), so budgets use `band`, not D."""
+    fwd = _chunk_budget(band, HT, chunk, live=2, reserve=D * HT * D * 4)
+    bwd = _chunk_budget(band, HT, chunk, live=4,
+                        reserve=2 * D * HT * D * 4)
+    return fwd, min(fwd, bwd)
+
+
+def _band_plan(gz_sorted, chunk: int, D: int, band: int, margin: int):
+    """Per-(pair, chunk) window starts d0 (int32, clamped to [0, D-band])
+    + scalar `ok` (every chunk's in-range depth span fits the band).
+    Points outside (-margin-1, D+margin) deposit nothing in-grid and are
+    ignored (this is where the -1e6 padding goes)."""
+    P, N = gz_sorted.shape
+    nc = N // chunk
+    z = gz_sorted.reshape(P, nc, chunk)
+    inr = (z > -(margin + 1.0)) & (z < D + float(margin))
+    zmin = jnp.min(jnp.where(inr, z, 1e9), axis=-1)
+    zmax = jnp.max(jnp.where(inr, z, -1e9), axis=-1)
+    anyv = jnp.any(inr, axis=-1)
+    zmin = jnp.where(anyv, zmin, 0.0)
+    zmax = jnp.where(anyv, zmax, 0.0)
+    lo = jnp.floor(zmin).astype(jnp.int32) - margin
+    d0 = jnp.clip(lo, 0, D - band)
+    need_hi = jnp.minimum(jnp.floor(zmax).astype(jnp.int32) + margin,
+                          D - 1)
+    ok = jnp.all(~anyv | (need_hi <= d0 + band - 1))
+    return d0, ok
+
+
+def _accumulate_banded(acc_ref, d0_ref, gz_ref, gy_ref, gx_ref, sigma, D,
+                       DB, HT, radius, chunk, h0, bf16=False):
+    inv2s2 = 0.5 / (sigma * sigma)
+    n_chunks = gz_ref.shape[2] // chunk
+    p = pl.program_id(0)
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        d0 = d0_ref[p, c]
+        gz = gz_ref[0, 0, sl] - d0.astype(jnp.float32)
+        gy = gy_ref[0, 0, sl] - h0
+        gx = gx_ref[0, 0, sl]
+        p_raw, _, _ = _pair_weight(gz, gy, inv2s2, DB, HT)
+        zz, _ = _log_norm(gz, inv2s2, radius)
+        zy, _ = _log_norm(gy, inv2s2, radius)
+        zx, _ = _log_norm(gx, inv2s2, radius)
+        ww_raw, _ = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+        contrib = _dot(p_raw, ww, (((0,), (0,)), ((), ())), bf16)
+        acc_ref[pl.ds(d0 * HT, DB * HT), :] += contrib
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _mse_fwd_kernel_banded(sigma_ref, d0_ref, gz_ref, gy_ref, gx_ref,
+                           mask_ref, sse_ref, acc_ref, *, D, DB, HT,
+                           radius, chunk, bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _accumulate_banded(acc_ref, d0_ref, gz_ref, gy_ref, gx_ref, sigma, D,
+                       DB, HT, radius, chunk,
+                       (ht * HT).astype(jnp.float32), bf16)
+
+    def collapse(d, trans):
+        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    trans = jax.lax.fori_loop(0, D, collapse,
+                              jnp.ones((HT, D), jnp.float32))
+    err = (1.0 - trans) - mask_ref[0]
+    sse_ref[...] = jnp.zeros_like(sse_ref)
+    sse_ref[0, 0, 0, :] = jnp.sum(err * err, axis=0)
+
+
+def _run_mse_fwd_banded(gz, gy, gx, sigma, masks, S, V, K, D, DB, radius,
+                        chunk, bf16):
+    P, N = gz.shape
+    HT = _h_tile(D)
+    margin = radius + 2
+    chunk, _ = _band_chunks(D, DB, HT, chunk)
+    d0, _ = _band_plan(gz, chunk, D, DB, margin)
+    gz, gy, gx = (c.reshape(P, 1, N) for c in (gz, gy, gx))
+    coord_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                              memory_space=pltpu.VMEM)
+    sse = pl.pallas_call(
+        functools.partial(_mse_fwd_kernel_banded, D=D, DB=DB, HT=HT,
+                          radius=radius, chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  coord_spec, coord_spec, coord_spec,
+                  pl.BlockSpec((1, HT, D), _mask_index_map(S, V, K),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 8, D), lambda p, h: (p, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, D // HT, 8, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * N * DB * D * D,
+            bytes_accessed=P * (N * 12 + D * D * 4),
+            transcendentals=P * N * (DB * D + D)),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), d0, gz, gy, gx, masks)
+    return jnp.sum(sse, axis=(-3, -2, -1))
+
+
+def _mse_bwd_kernel_banded(sigma_ref, gsse_ref, d0_ref, gz_ref, gy_ref,
+                           gx_ref, mask_ref, dgz_ref, dgy_ref, dgx_ref,
+                           acc_ref, cot_ref, *, D, DB, HT, radius, chunk,
+                           bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    inv_s2 = 2.0 * inv2s2
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        dgz_ref[...] = jnp.zeros_like(dgz_ref)
+        dgy_ref[...] = jnp.zeros_like(dgy_ref)
+        dgx_ref[...] = jnp.zeros_like(dgx_ref)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _accumulate_banded(acc_ref, d0_ref, gz_ref, gy_ref, gx_ref, sigma, D,
+                       DB, HT, radius, chunk, h0, bf16)
+
+    def collapse(d, trans):
+        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    trans = jax.lax.fori_loop(0, D, collapse,
+                              jnp.ones((HT, D), jnp.float32))
+    gsil = gsse_ref[p, 0] * 2.0 * ((1.0 - trans) - mask_ref[0])
+    gt = gsil * trans
+
+    def fill_cot(d, _):
+        raw = acc_ref[pl.ds(d * HT, HT), :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        mask = (raw < 1.0 - _EPS).astype(jnp.float32)
+        cot_ref[pl.ds(d * HT, HT), :] = gt / (1.0 - v) * mask
+        return 0
+
+    jax.lax.fori_loop(0, D, fill_cot, 0)
+
+    n_chunks = gz_ref.shape[2] // chunk
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        d0 = d0_ref[p, c]
+        gz_full = gz_ref[0, 0, sl]
+        gy_full = gy_ref[0, 0, sl]
+        gx = gx_ref[0, 0, sl]
+        gz = gz_full - d0.astype(jnp.float32)
+        gy = gy_full - h0
+        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, DB, HT)
+        zz, dlzz = _log_norm(gz, inv2s2, radius)
+        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
+        zx, dlzx = _log_norm(gx, inv2s2, radius)
+        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+        gout = cot_ref[pl.ds(d0 * HT, DB * HT), :]
+        d_ww = _dot(p_raw, gout, (((1,), (0,)), ((), ())), bf16)
+        d_p = _dot(ww, gout, (((1,), (1,)), ((), ())), bf16)
+        pd = d_p * p_raw
+        dwsum = jnp.sum(d_ww * ww, axis=1)
+        dgz_ref[0, 0, sl] += (jnp.sum(pd * dzd, axis=1) * inv_s2) \
+            - dlzz * dwsum
+        dgy_ref[0, 0, sl] += (jnp.sum(pd * dyd, axis=1) * inv_s2) \
+            - dlzy * dwsum
+        dgx_ref[0, 0, sl] += (jnp.sum(d_ww * ww * dxd, axis=1) * inv_s2) \
+            - dlzx * dwsum
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _run_mse_bwd_banded(gz, gy, gx, sigma, masks, gsse, S, V, K, D, DB,
+                        radius, chunk, bf16):
+    P, N = gz.shape
+    HT = _h_tile(D)
+    margin = radius + 2
+    _, chunk = _band_chunks(D, DB, HT, chunk)
+    d0, _ = _band_plan(gz, chunk, D, DB, margin)
+    gz, gy, gx = (c.reshape(P, 1, N) for c in (gz, gy, gx))
+    coord_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                            memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((P, 1, N), jnp.float32)
+    dgz, dgy, dgx = pl.pallas_call(
+        functools.partial(_mse_bwd_kernel_banded, D=D, DB=DB, HT=HT,
+                          radius=radius, chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  coord_spec, coord_spec, coord_spec,
+                  pl.BlockSpec((1, HT, D), _mask_index_map(S, V, K),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(shp, shp, shp),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32),
+                        pltpu.VMEM((D * HT, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), gsse.reshape(P, 1), d0, gz, gy, gx, masks)
+    return (dgz.reshape(P, N), dgy.reshape(P, N), dgx.reshape(P, N))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def render_drc_mse_banded_soa(gz, gy, gx, sigma, masks, pair_shape: tuple,
+                              vox_size: int, band: int, radius: int = 13,
+                              chunk: int = 512,
+                              bf16: bool = False) -> jnp.ndarray:
+    """Depth-banded fused render + squared-error reduction.
+
+    Same contract as render_drc_mse_pallas_soa, PLUS: per-pair coords must
+    be sorted by gz, and every fwd-chunk's in-range depth span must fit
+    band - 2*(radius+2) cells (use render_drc_mse_auto, which checks and
+    falls back to the dense kernel otherwise). `band` must be a multiple
+    of 8 with band < vox_size."""
+    B, S, V, K = pair_shape
+    return _run_mse_fwd_banded(gz, gy, gx, sigma, masks, S, V, K,
+                               vox_size, band, radius, chunk, bf16)
+
+
+def _mse_banded_vjp_fwd(gz, gy, gx, sigma, masks, pair_shape, vox_size,
+                        band, radius, chunk, bf16):
+    sse = render_drc_mse_banded_soa(gz, gy, gx, sigma, masks, pair_shape,
+                                    vox_size, band, radius, chunk, bf16)
+    return sse, (gz, gy, gx, sigma, masks)
+
+
+def _mse_banded_vjp_bwd(pair_shape, vox_size, band, radius, chunk, bf16,
+                        res, gsse):
+    gz, gy, gx, sigma, masks = res
+    B, S, V, K = pair_shape
+    dgz, dgy, dgx = _run_mse_bwd_banded(gz, gy, gx, sigma, masks, gsse,
+                                        S, V, K, vox_size, band, radius,
+                                        chunk, bf16)
+    return dgz, dgy, dgx, jnp.zeros_like(sigma), jnp.zeros_like(masks)
+
+
+render_drc_mse_banded_soa.defvjp(_mse_banded_vjp_fwd, _mse_banded_vjp_bwd)
+
+
+def render_drc_mse_auto(gz, gy, gx, sigma, masks, pair_shape: tuple,
+                        vox_size: int, radius: int = 13, chunk: int = 512,
+                        bf16: bool = False,
+                        band: int | None = None) -> jnp.ndarray:
+    """Fused render+MSE with optional depth banding (explicit opt-in).
+
+    band: window width DB (multiple of 8), 0/None for the dense kernel.
+
+    MEASURED NEGATIVE RESULT (r3, v5e-1, P=20 pairs x 8192 pts, D=128):
+    the banded kernel alone is 1.43x faster than dense (19.5 vs 27.9ms
+    fwd+bwd), but the depth-sort wrapper costs more than the 8.4ms it
+    saves — argsort 2.0ms + 3x take_along_axis 7.3ms fwd + gather-grad
+    scatters ~8ms bwd; a one-hot-matmul permutation is no better (6.1ms
+    fwd: the (N,3) output uses 3 of the MXU's 128 lanes, and bf16
+    operands lose coordinate precision, max err 0.25 at D=128). On TPU
+    the dense kernel's "wasted" VPU exps are cheaper than any data
+    movement that avoids them, so dense stays the default at every grid
+    size; `band` remains for grids large enough to flip the balance
+    (>=256³, untested).
+
+    When banding, sorts each pair's points by depth (the SSE is
+    permutation-invariant over points; gradients route back through the
+    gather), plans per-chunk windows, and lax.cond-dispatches: banded
+    when every chunk's depth span fits the band budget, dense otherwise
+    — bitwise-safe for any input."""
+    D = vox_size
+    if band is None:
+        band = 0
+    if not band or band >= D:
+        return render_drc_mse_pallas_soa(gz, gy, gx, sigma, masks,
+                                         pair_shape, D, radius, chunk,
+                                         bf16)
+    assert band % 8 == 0, band
+    order = jnp.argsort(gz, axis=-1)
+    gzs, gys, gxs = (jnp.take_along_axis(c, order, axis=-1)
+                     for c in (gz, gy, gx))
+    HT = _h_tile(D)
+    fwd_chunk, _ = _band_chunks(D, band, HT, chunk)
+    _, ok = _band_plan(gzs, fwd_chunk, D, band, radius + 2)
+
+    def banded(g3):
+        return render_drc_mse_banded_soa(g3[0], g3[1], g3[2], sigma,
+                                         masks, pair_shape, D, band,
+                                         radius, chunk, bf16)
+
+    def dense(g3):
+        return render_drc_mse_pallas_soa(g3[0], g3[1], g3[2], sigma,
+                                         masks, pair_shape, D, radius,
+                                         chunk, bf16)
+
+    return jax.lax.cond(ok, banded, dense, (gzs, gys, gxs))
+
+
+# ===================================================================
 # Fused RGB render + MSE: neither silhouettes NOR composited images ever
 # leave VMEM — the c5 training path. Per (pair, H-tile) the forward splats
 # the four grids (occ + 3 color channels), runs the expected-color collapse,

@@ -178,8 +178,7 @@ def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
     the three SoA coordinate operands the kernel needs; silhouettes and
     their cotangents never exist in HBM, and masks stay compact (B*V,H,W)
     deduplicated by the kernel's index_map."""
-    from tpu_unsup_pc.ops.pallas.render_kernel import (
-        render_drc_mse_pallas_soa)
+    from tpu_unsup_pc.ops.pallas.render_kernel import render_drc_mse_auto
     B, S, N = points.shape[:3]
     V, K = quats.shape[1], quats.shape[2]
     D = cfg.vox_size
@@ -201,9 +200,11 @@ def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
     sigma_p = jnp.broadcast_to(sigma[:, :, None, None],
                                (B, S, V, K)).reshape(P)
     sigma_k = jnp.sqrt(sigma_p ** 2 + 1.0 / 6.0)    # hat-variance corr.
-    sse = render_drc_mse_pallas_soa(
+    band = None if cfg.pallas_band < 0 else cfg.pallas_band
+    sse = render_drc_mse_auto(
         gz, gy, gx, sigma_k, masks.reshape(B * V, *masks.shape[-2:]),
-        (B, S, V, K), D, radius, cfg.point_chunk, cfg.pallas_bf16)
+        (B, S, V, K), D, radius, cfg.point_chunk, cfg.pallas_bf16,
+        band=band)
     return sse.reshape(B, S, V, K)
 
 

@@ -138,6 +138,14 @@ def main(argv=None):
 
     ckpt = CheckpointManager(cfg.ckpt_dir, max_to_keep=args.ckpt_keep)
     logger = MetricsLogger(args.log_dir, use_tensorboard=args.tensorboard)
+    # durable record of the resolved config — runs are bit-deterministic
+    # given (config, seed, data path), so this is what makes a trajectory
+    # replayable later (the round-2 c3 recipe had to be recovered from
+    # session logs)
+    if args.log_dir:
+        os.makedirs(args.log_dir, exist_ok=True)
+        with open(os.path.join(args.log_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
 
     state, start = (None, None)
     if not args.no_resume:

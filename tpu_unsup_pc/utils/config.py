@@ -114,6 +114,10 @@ class Config:
     # kernels compose with SPMD batch sharding on the virtual CPU mesh
     force_fused: bool = False
     pallas_bf16: bool = False      # bf16 MXU inputs in the fused render
+    # depth-band width for the fused render+MSE kernel: -1/0 dense (the
+    # measured default — the depth-sort wrapper costs more than banding
+    # saves on TPU, see render_drc_mse_auto), else a multiple of 8
+    pallas_band: int = -1
     point_chunk: int = 512         # chunk size for the separable-matmul splat
 
     # ---- checkpoint / logging ----
@@ -156,6 +160,10 @@ class Config:
             assert self.num_views > 1, (
                 "exclude_self_view needs at least one non-self target view")
         assert self.proj_mode in ("drc", "max", "sum"), self.proj_mode
+        assert self.pallas_band == -1 or self.pallas_band == 0 or (
+            self.pallas_band % 8 == 0 and self.pallas_band > 0), (
+            f"pallas_band={self.pallas_band} must be -1, 0, or a positive "
+            "multiple of 8")
         assert self.sigma_schedule in ("exp", "linear", "const")
         assert self.pc_num_points > 0 and self.num_views >= 1
         if self.predict_pose:
