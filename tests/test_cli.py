@@ -61,6 +61,42 @@ def test_eval_alignment_recovers_rotation(rng):
 
 
 @pytest.mark.slow
+def test_train_warm_start_from_npz(tmp_path, monkeypatch):
+    """--init-params-npz: params load from the npz export, optimizer
+    state and step counter are fresh, training proceeds (the phase-4
+    fine-tune entry path, docs/pose_training.md)."""
+    monkeypatch.chdir(tmp_path)
+    ckpt_a = str(tmp_path / "a")
+    train.main(["--preset", "tiny", "--steps", "10", "--ckpt-dir", ckpt_a,
+                "--log-dir", str(tmp_path / "la"), "--num-models", "8",
+                "--set", "ckpt_every=10"])
+    from tpu_unsup_pc.configs import presets
+    from tpu_unsup_pc.utils.checkpoint import (CheckpointManager,
+                                               save_params_npz)
+    cfg = presets.get("tiny").replace(ckpt_dir=ckpt_a)
+    state, step = CheckpointManager(ckpt_a).restore_latest(cfg)
+    assert step == 10
+    npz = str(tmp_path / "warm.npz")
+    save_params_npz(state, npz)
+
+    # warm start into a FRESH ckpt dir; step counter restarts at 0
+    ckpt_b = str(tmp_path / "b")
+    logs_b = str(tmp_path / "lb")
+    train.main(["--preset", "tiny", "--steps", "5", "--ckpt-dir", ckpt_b,
+                "--log-dir", logs_b, "--num-models", "8",
+                "--init-params-npz", npz])
+    with open(os.path.join(logs_b, "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert recs[0]["step"] <= 5 and recs[-1]["step"] == 5
+    assert np.isfinite(recs[-1]["loss"])
+
+    # structural mismatch (different preset) must fail loudly
+    from tpu_unsup_pc.utils.checkpoint import load_params_npz
+    with pytest.raises(ValueError, match="do not match"):
+        load_params_npz(presets.get("c3_synth"), npz)
+
+
+@pytest.mark.slow
 def test_params_npz_export_predict(tmp_path, monkeypatch):
     """tools/export_params.py round trip: orbax ckpt -> npz -> predict
     --params-npz produces the same clouds as the orbax path."""

@@ -45,36 +45,6 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _state_from_npz(cfg, path):
-    """TrainState with params from a tools/export_params.py export (f16
-    arrays are upcast; optimizer state is fresh — prediction only)."""
-    import jax
-    with np.load(path) as z:
-        step = int(z["__step__"])
-        flat = {k: z[k].astype(np.float32) if z[k].dtype == np.float16
-                else z[k] for k in z.files if k != "__step__"}
-    tree: dict = {}
-    for key, v in flat.items():
-        parts = key.split("/")
-        node = tree
-        for p_ in parts[:-1]:
-            node = node.setdefault(p_, {})
-        node[parts[-1]] = jnp.asarray(v)
-    state = training.init_state(cfg)
-    ref = jax.tree_util.tree_structure(state.params)
-    got = jax.tree_util.tree_structure(tree)
-    if got != ref:
-        # leaves are paired positionally below, so a structural mismatch
-        # (renamed/missing/extra keys from a different preset's export)
-        # would load silently into the wrong slots — fail loudly instead
-        raise ValueError(
-            f"params in {path} do not match preset '{cfg.name}': "
-            f"npz tree {got} vs expected {ref}")
-    params = jax.tree_util.tree_unflatten(
-        ref, jax.tree_util.tree_leaves(tree))
-    return state.replace(params=params, step=step), step
-
-
 def main(argv=None):
     args = parse_args(argv)
     cfg = presets.get(args.preset)
@@ -87,7 +57,8 @@ def main(argv=None):
     dataset = make_dataset(cfg, split=args.split, **ds_kwargs)
 
     if args.params_npz is not None:
-        state, step = _state_from_npz(cfg, args.params_npz)
+        from tpu_unsup_pc.utils.checkpoint import load_params_npz
+        state, step = load_params_npz(cfg, args.params_npz)
     else:
         ckpt_dir = cfg.ckpt_dir if args.ckpt_dir is None else args.ckpt_dir
         ckpt = CheckpointManager(ckpt_dir)

@@ -47,6 +47,15 @@ def parse_args(argv=None):
     p.add_argument("--num-models", type=int, default=256,
                    help="synthetic dataset size")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--init-params-npz", default=None,
+                   help="warm-start fine-tune: initialize params from a "
+                        "save_params_npz export (fresh optimizer state, "
+                        "step counter reset to 0). The sigma anneal "
+                        "restarts with the step counter — pin it with "
+                        "--set sigma_start=/sigma_end= when the source "
+                        "run trained past the anneal. Ignored when an "
+                        "orbax checkpoint exists in --ckpt-dir (resume "
+                        "wins); use a fresh --ckpt-dir for a new branch")
     p.add_argument("--eval-every", type=int, default=0,
                    help="validation-loss cadence in steps (0 = off); uses "
                         "a held-out split at the fixed fine sigma")
@@ -150,11 +159,17 @@ def main(argv=None):
     state, start = (None, None)
     if not args.no_resume:
         state, start = ckpt.restore_latest(cfg)
-    if state is None:
+    if state is not None:
+        print(f"resumed from step {start}")
+    elif args.init_params_npz is not None:
+        from tpu_unsup_pc.utils.checkpoint import load_params_npz
+        state, src_step = load_params_npz(cfg, args.init_params_npz)
+        state, start = state.replace(step=0), 0
+        print(f"warm-started params from {args.init_params_npz} "
+              f"(exported at step {src_step}); fresh optimizer, step 0")
+    else:
         state, start = training.init_state(cfg), 0
         print(f"initialized fresh state ({_param_count(state):,} params)")
-    else:
-        print(f"resumed from step {start}")
 
     mesh = None
     if n_mesh > 1:

@@ -48,6 +48,40 @@ def save_params_npz(state: training.TrainState, path: str) -> None:
                         **flatten_params(state.params))
 
 
+def load_params_npz(cfg: Config, path: str,
+                    ) -> Tuple[training.TrainState, int]:
+    """TrainState with params from a save_params_npz/export_params.py
+    export (f16 arrays are upcast; optimizer state is FRESH). Returns
+    (state, exported_step). Used by predict.py --params-npz and
+    train.py --init-params-npz (warm-start fine-tune)."""
+    import numpy as np
+    import jax.numpy as jnp
+    with np.load(path) as z:
+        step = int(z["__step__"])
+        flat = {k: z[k].astype(np.float32) if z[k].dtype == np.float16
+                else z[k] for k in z.files if k != "__step__"}
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p_ in parts[:-1]:
+            node = node.setdefault(p_, {})
+        node[parts[-1]] = jnp.asarray(v)
+    state = training.init_state(cfg)
+    ref = jax.tree_util.tree_structure(state.params)
+    got = jax.tree_util.tree_structure(tree)
+    if got != ref:
+        # leaves are paired positionally below, so a structural mismatch
+        # (renamed/missing/extra keys from a different preset's export)
+        # would load silently into the wrong slots — fail loudly instead
+        raise ValueError(
+            f"params in {path} do not match the config's model: "
+            f"npz tree {got} vs expected {ref}")
+    params = jax.tree_util.tree_unflatten(
+        ref, jax.tree_util.tree_leaves(tree))
+    return state.replace(params=params, step=step), step
+
+
 class CheckpointManager:
     """Thin wrapper: save(state), restore_latest(cfg) -> (state, step)."""
 
