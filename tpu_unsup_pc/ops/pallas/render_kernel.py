@@ -305,10 +305,35 @@ render_drc_pallas_soa.defvjp(_soa_vjp_fwd, _soa_vjp_bwd)
 # ------------------------------------------------------- RGB SoA variant
 # Same SoA rationale as render_drc_pallas_soa: coordinates AND colors as
 # dense (P, 1, N) operands, gradients as six (P, N) arrays.
+#
+# LANE-PACKED accumulation (r3, profile_r3.md finding #2): the four grids
+# (occ + 3 color channels) share p_raw and ww, so all four forward
+# accumulations collapse into ONE matmul against a lane-concatenated
+# (chunk, 4W) weight operand, into ONE (D*HT, 4W) packed accumulator —
+# and both backward contractions likewise run once at 4x the lane width.
+# At W=64 each per-grid matmul used 64 of the MXU's 128 output lanes
+# (resp. 64 of 128 contraction depth); packed, every matmul runs
+# full-width. The grids are unpacked into per-channel scratch once per
+# (pair, H-tile) — static lane slices, amortized over all point chunks —
+# so the depth sweeps are unchanged.
 
-def _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
-                        cb_ref, sigma, D, HT, radius, chunk, h0,
-                        bf16=False):
+def _unpack4(packed_s, occ_s, r_s, g_s, b_s, D):
+    occ_s[...] = packed_s[:, 0:D]
+    r_s[...] = packed_s[:, D:2 * D]
+    g_s[...] = packed_s[:, 2 * D:3 * D]
+    b_s[...] = packed_s[:, 3 * D:4 * D]
+
+
+def _pack4(packed_s, occ_s, r_s, g_s, b_s, D):
+    packed_s[:, 0:D] = occ_s[...]
+    packed_s[:, D:2 * D] = r_s[...]
+    packed_s[:, 2 * D:3 * D] = g_s[...]
+    packed_s[:, 3 * D:4 * D] = b_s[...]
+
+
+def _accumulate_rgb_packed(packed_s, gz_ref, gy_ref, gx_ref, cr_ref,
+                           cg_ref, cb_ref, sigma, D, HT, radius, chunk,
+                           h0, bf16=False):
     inv2s2 = 0.5 / (sigma * sigma)
     n_chunks = gz_ref.shape[2] // chunk
 
@@ -324,26 +349,25 @@ def _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
         zx, _ = _log_norm(gx, inv2s2, radius)
         ww_raw, _ = _axis_weight(gx, inv2s2, D)
         ww = ww_raw / (zz * zy * zx)[:, None]
-        for k in range(4):
-            wk = ww if k == 0 else ww * vals[k - 1][:, None]
-            accs[k][...] += _dot(p_raw, wk, (((0,), (0,)), ((), ())), bf16)
+        wk4 = jnp.concatenate(
+            [ww] + [ww * vals[k][:, None] for k in range(3)], axis=1)
+        packed_s[...] += _dot(p_raw, wk4, (((0,), (0,)), ((), ())), bf16)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 def _rgb_fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
-                        cb_ref, sil_ref, img_ref, occ_s, r_s, g_s, b_s, *,
-                        D, HT, radius, chunk, bf16):
+                        cb_ref, sil_ref, img_ref, packed_s, occ_s, r_s,
+                        g_s, b_s, *, D, HT, radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
     sigma = sigma_ref[p, 0]
-    accs = (occ_s, r_s, g_s, b_s)
-    for a in accs:
-        a[...] = jnp.zeros_like(a)
-    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
-                        cb_ref, sigma, D, HT, radius, chunk,
-                        (ht * HT).astype(jnp.float32), bf16)
+    packed_s[...] = jnp.zeros_like(packed_s)
+    _accumulate_rgb_packed(packed_s, gz_ref, gy_ref, gx_ref, cr_ref,
+                           cg_ref, cb_ref, sigma, D, HT, radius, chunk,
+                           (ht * HT).astype(jnp.float32), bf16)
+    _unpack4(packed_s, occ_s, r_s, g_s, b_s, D)
 
     def body(d, carry):
         trans, img = carry
@@ -369,7 +393,7 @@ def _run_rgb_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, D, radius, chunk,
     P, N = gz.shape
     HT = _h_tile_rgb(D)
     chunk = _chunk_budget(D, HT, chunk, live=2,
-                          reserve=4 * D * HT * D * 4)
+                          reserve=8 * D * HT * D * 4)
     ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
     spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -386,8 +410,9 @@ def _run_rgb_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, D, radius, chunk,
         ),
         out_shape=(jax.ShapeDtypeStruct((P, D, D), jnp.float32),
                    jax.ShapeDtypeStruct((P, 3, D, D), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
-                        for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((D * HT, 4 * D), jnp.float32)]
+                       + [pltpu.VMEM((D * HT, D), jnp.float32)
+                          for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -428,11 +453,17 @@ def _rgb_rev_sweep(occ_s, r_s, g_s, b_s, t_s, gsil, gimg, D, HT):
 
 def _rgb_grad_chunks(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
                      dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref,
-                     occ_s, r_s, g_s, b_s, inv2s2, h0, D, HT, radius,
-                     chunk, bf16):
-    """Per-chunk splat backward against the four cotangent grids left in
-    the scratch accumulators by _rgb_rev_sweep; accumulates the six (P, N)
-    coordinate/color gradients across H-tiles."""
+                     cot4_s, inv2s2, h0, D, HT, radius, chunk, bf16):
+    """Per-chunk splat backward against the lane-packed (D*HT, 4W)
+    cotangent grid left in cot4_s by _pack4 after _rgb_rev_sweep;
+    accumulates the six (P, N) coordinate/color gradients across H-tiles.
+
+    Identities vs the per-grid form (grids k=0..3 share p_raw and ww, so
+    every sum over k folds into one full-width contraction):
+      d_ww4[:, kW:(k+1)W] = d_ww_k        (one matmul, lanes packed)
+      sum_k val_k d_p_k   = ww4 @ cot4ᵀ   with ww4 = [ww, val1*ww, ...]
+      dwsum = Σ_lanes (d_ww4 * ww_t4 * val4);  dval_k = Σ_block_k of
+      (d_ww4 * ww_t4)."""
     inv_s2 = 2.0 * inv2s2
     n_chunks = gz_ref.shape[2] // chunk
 
@@ -450,22 +481,22 @@ def _rgb_grad_chunks(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
         ww_raw, dxd = _axis_weight(gx, inv2s2, D)
         ww = ww_raw / (zz * zy * zx)[:, None]
 
-        pd = jnp.zeros((chunk, p_raw.shape[1]), jnp.float32)
-        dwsum = jnp.zeros((chunk,), jnp.float32)
-        dx_term = jnp.zeros((chunk,), jnp.float32)
-        dval_refs = (dcr_ref, dcg_ref, dcb_ref)
-        for k, ref in ((0, occ_s), (1, r_s), (2, g_s), (3, b_s)):
-            cot = ref[...]
-            val = jnp.ones((chunk,), jnp.float32) if k == 0 \
-                else vals[k - 1]
-            d_ww = _dot(p_raw, cot, (((1,), (0,)), ((), ())), bf16)
-            d_p = _dot(ww, cot, (((1,), (1,)), ((), ())), bf16)
-            dws_k = jnp.sum(d_ww * ww, axis=1)
-            pd += val[:, None] * (d_p * p_raw)
-            dwsum += val * dws_k
-            dx_term += val * jnp.sum(d_ww * ww * dxd, axis=1)
-            if k > 0:
-                dval_refs[k - 1][0, 0, sl] += dws_k
+        cot4 = cot4_s[...]
+        d_ww4 = _dot(p_raw, cot4, (((1,), (0,)), ((), ())), bf16)
+        ww_t4 = jnp.concatenate([ww] * 4, axis=1)
+        prod = d_ww4 * ww_t4                       # (chunk, 4W)
+        dcr_ref[0, 0, sl] += jnp.sum(prod[:, D:2 * D], axis=1)
+        dcg_ref[0, 0, sl] += jnp.sum(prod[:, 2 * D:3 * D], axis=1)
+        dcb_ref[0, 0, sl] += jnp.sum(prod[:, 3 * D:4 * D], axis=1)
+        ones = jnp.ones_like(ww)
+        val4 = jnp.concatenate(
+            [ones] + [vals[k][:, None] * ones for k in range(3)], axis=1)
+        pv = prod * val4
+        dwsum = jnp.sum(pv, axis=1)
+        dx_term = jnp.sum(pv * jnp.concatenate([dxd] * 4, axis=1), axis=1)
+        ww4 = ww_t4 * val4
+        d_p = _dot(ww4, cot4, (((1,), (1,)), ((), ())), bf16)
+        pd = d_p * p_raw
         dgz_ref[0, 0, sl] += (jnp.sum(pd * dzd, axis=1) * inv_s2) \
             - dlzz * dwsum
         dgy_ref[0, 0, sl] += (jnp.sum(pd * dyd, axis=1) * inv_s2) \
@@ -478,8 +509,9 @@ def _rgb_grad_chunks(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
 
 def _rgb_bwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
                         cb_ref, gsil_ref, gimg_ref, dgz_ref, dgy_ref,
-                        dgx_ref, dcr_ref, dcg_ref, dcb_ref, occ_s, r_s,
-                        g_s, b_s, t_s, *, D, HT, radius, chunk, bf16):
+                        dgx_ref, dcr_ref, dcg_ref, dcb_ref, packed_s,
+                        occ_s, r_s, g_s, b_s, t_s, *, D, HT, radius,
+                        chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
     sigma = sigma_ref[p, 0]
@@ -491,11 +523,11 @@ def _rgb_bwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
         for ref in (dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    accs = (occ_s, r_s, g_s, b_s)
-    for a in accs:
-        a[...] = jnp.zeros_like(a)
-    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
-                        cb_ref, sigma, D, HT, radius, chunk, h0, bf16)
+    packed_s[...] = jnp.zeros_like(packed_s)
+    _accumulate_rgb_packed(packed_s, gz_ref, gy_ref, gx_ref, cr_ref,
+                           cg_ref, cb_ref, sigma, D, HT, radius, chunk,
+                           h0, bf16)
+    _unpack4(packed_s, occ_s, r_s, g_s, b_s, D)
 
     def fwd_sweep(d, trans):
         t_s[pl.ds(d * HT, HT), :] = trans
@@ -505,10 +537,10 @@ def _rgb_bwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
     jax.lax.fori_loop(0, D, fwd_sweep, jnp.ones((HT, D), jnp.float32))
     _rgb_rev_sweep(occ_s, r_s, g_s, b_s, t_s, gsil_ref[0], gimg_ref[0],
                    D, HT)
+    _pack4(packed_s, occ_s, r_s, g_s, b_s, D)
     _rgb_grad_chunks(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
                      dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref,
-                     occ_s, r_s, g_s, b_s, inv2s2, h0, D, HT, radius,
-                     chunk, bf16)
+                     packed_s, inv2s2, h0, D, HT, radius, chunk, bf16)
 
 
 def _run_rgb_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, gsil, gimg, D, radius,
@@ -516,7 +548,7 @@ def _run_rgb_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, gsil, gimg, D, radius,
     P, N = gz.shape
     HT = _h_tile_rgb(D)
     chunk = _chunk_budget(D, HT, chunk, live=20,
-                          reserve=5 * D * HT * D * 4,
+                          reserve=9 * D * HT * D * 4,
                           budget=56 * 2 ** 20)
     ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
     spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
@@ -533,8 +565,9 @@ def _run_rgb_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, gsil, gimg, D, radius,
                          memory_space=pltpu.VMEM)],
         out_specs=tuple([spec] * 6),
         out_shape=tuple([shp] * 6),
-        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
-                        for _ in range(5)],
+        scratch_shapes=[pltpu.VMEM((D * HT, 4 * D), jnp.float32)]
+                       + [pltpu.VMEM((D * HT, D), jnp.float32)
+                          for _ in range(5)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -1158,17 +1191,16 @@ def _imgt_index_map(S, V, K):
 
 def _rgb_mse_fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref,
                             cg_ref, cb_ref, mask_ref, imgt_ref, sse_ref,
-                            occ_s, r_s, g_s, b_s, *, D, HT, radius, chunk,
-                            bf16):
+                            packed_s, occ_s, r_s, g_s, b_s, *, D, HT,
+                            radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
     sigma = sigma_ref[p, 0]
-    accs = (occ_s, r_s, g_s, b_s)
-    for a in accs:
-        a[...] = jnp.zeros_like(a)
-    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
-                        cb_ref, sigma, D, HT, radius, chunk,
-                        (ht * HT).astype(jnp.float32), bf16)
+    packed_s[...] = jnp.zeros_like(packed_s)
+    _accumulate_rgb_packed(packed_s, gz_ref, gy_ref, gx_ref, cr_ref,
+                           cg_ref, cb_ref, sigma, D, HT, radius, chunk,
+                           (ht * HT).astype(jnp.float32), bf16)
+    _unpack4(packed_s, occ_s, r_s, g_s, b_s, D)
 
     def body(d, carry):
         trans, img = carry
@@ -1202,7 +1234,7 @@ def _run_rgb_mse_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
     P, N = gz.shape
     HT = _h_tile_rgb(D)
     chunk = _chunk_budget(D, HT, chunk, live=2,
-                          reserve=4 * D * HT * D * 4)
+                          reserve=8 * D * HT * D * 4)
     ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
     spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -1218,8 +1250,9 @@ def _run_rgb_mse_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
         out_specs=pl.BlockSpec((1, 1, 8, D), lambda p, h: (p, h, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, D // HT, 8, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
-                        for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((D * HT, 4 * D), jnp.float32)]
+                       + [pltpu.VMEM((D * HT, D), jnp.float32)
+                          for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -1236,8 +1269,8 @@ def _run_rgb_mse_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
 def _rgb_mse_bwd_kernel_soa(sigma_ref, gsse_ref, gz_ref, gy_ref, gx_ref,
                             cr_ref, cg_ref, cb_ref, mask_ref, imgt_ref,
                             dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref,
-                            dcb_ref, occ_s, r_s, g_s, b_s, t_s, *, D, HT,
-                            radius, chunk, bf16):
+                            dcb_ref, packed_s, occ_s, r_s, g_s, b_s, t_s,
+                            *, D, HT, radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
     sigma = sigma_ref[p, 0]
@@ -1249,11 +1282,11 @@ def _rgb_mse_bwd_kernel_soa(sigma_ref, gsse_ref, gz_ref, gy_ref, gx_ref,
         for ref in (dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    accs = (occ_s, r_s, g_s, b_s)
-    for a in accs:
-        a[...] = jnp.zeros_like(a)
-    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
-                        cb_ref, sigma, D, HT, radius, chunk, h0, bf16)
+    packed_s[...] = jnp.zeros_like(packed_s)
+    _accumulate_rgb_packed(packed_s, gz_ref, gy_ref, gx_ref, cr_ref,
+                           cg_ref, cb_ref, sigma, D, HT, radius, chunk,
+                           h0, bf16)
+    _unpack4(packed_s, occ_s, r_s, g_s, b_s, D)
 
     # forward sweep: transmittances into t_s AND the composited image
     # (needed to seed gimg — the sil-only kernel's sweep skips it)
@@ -1279,10 +1312,10 @@ def _rgb_mse_bwd_kernel_soa(sigma_ref, gsse_ref, gz_ref, gy_ref, gx_ref,
     gsil = gsse_ref[p, 0] * 2.0 * ((1.0 - trans) - mask)
     gimg = gsse_ref[p, 1] * 2.0 * (img - imgt_ref[0]) * mask[None]
     _rgb_rev_sweep(occ_s, r_s, g_s, b_s, t_s, gsil, gimg, D, HT)
+    _pack4(packed_s, occ_s, r_s, g_s, b_s, D)
     _rgb_grad_chunks(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
                      dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref,
-                     occ_s, r_s, g_s, b_s, inv2s2, h0, D, HT, radius,
-                     chunk, bf16)
+                     packed_s, inv2s2, h0, D, HT, radius, chunk, bf16)
 
 
 def _run_rgb_mse_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
@@ -1290,7 +1323,7 @@ def _run_rgb_mse_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
     P, N = gz.shape
     HT = _h_tile_rgb(D)
     chunk = _chunk_budget(D, HT, chunk, live=12,
-                          reserve=5 * D * HT * D * 4,
+                          reserve=9 * D * HT * D * 4,
                           budget=56 * 2 ** 20)
     ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
     spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
@@ -1309,8 +1342,9 @@ def _run_rgb_mse_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
                          memory_space=pltpu.VMEM)],
         out_specs=tuple([spec] * 6),
         out_shape=tuple([shp] * 6),
-        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
-                        for _ in range(5)],
+        scratch_shapes=[pltpu.VMEM((D * HT, 4 * D), jnp.float32)]
+                       + [pltpu.VMEM((D * HT, D), jnp.float32)
+                          for _ in range(5)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),

@@ -273,20 +273,18 @@ def _h_tile_rgb_splat(D: int) -> int:
 
 
 def _rgb_splat_fwd_kernel(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref,
-                          cg_ref, cb_ref, out_ref, occ_s, r_s, g_s, b_s,
-                          *, D, HT, radius, chunk):
-    from tpu_unsup_pc.ops.pallas.render_kernel import _accumulate_rgb_soa
+                          cg_ref, cb_ref, out_ref, packed_s, *,
+                          D, HT, radius, chunk):
+    from tpu_unsup_pc.ops.pallas.render_kernel import _accumulate_rgb_packed
     p = pl.program_id(0)
     ht = pl.program_id(1)
     sigma = sigma_ref[p, 0]
-    accs = (occ_s, r_s, g_s, b_s)
-    for a in accs:
-        a[...] = jnp.zeros_like(a)
-    _accumulate_rgb_soa(accs, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
-                        cb_ref, sigma, D, HT, radius, chunk,
-                        (ht * HT).astype(jnp.float32))
+    packed_s[...] = jnp.zeros_like(packed_s)
+    _accumulate_rgb_packed(packed_s, gz_ref, gy_ref, gx_ref, cr_ref,
+                           cg_ref, cb_ref, sigma, D, HT, radius, chunk,
+                           (ht * HT).astype(jnp.float32))
     for k in range(4):
-        out_ref[0, k] = accs[k][...].reshape(D, HT, D)
+        out_ref[0, k] = packed_s[:, k * D:(k + 1) * D].reshape(D, HT, D)
 
 
 def _run_rgb_splat_fwd(gz, gy, gx, cr, cg, cb, sigma, D, radius, chunk):
@@ -305,8 +303,7 @@ def _run_rgb_splat_fwd(gz, gy, gx, cr, cg, cb, sigma, D, radius, chunk):
                                lambda p, h: (p, 0, 0, h, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, 4, D, D, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32)
-                        for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((D * HT, 4 * D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024),
