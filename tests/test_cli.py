@@ -127,3 +127,19 @@ def test_params_npz_export_predict(tmp_path, monkeypatch):
     with np.load(out_ckpt) as a, np.load(out_npz) as b:
         np.testing.assert_allclose(a["pred_points"], b["pred_points"],
                                    atol=1e-6)
+
+
+def test_apply_overrides_literals():
+    """--set parses JSON values, and Python-style True/False/None too (a
+    truthy-"False" string silently enabled flags before r3)."""
+    from tpu_unsup_pc.configs import presets
+
+    cfg = presets.get("tiny")
+    out = presets.apply_overrides(cfg, [
+        "use_pallas=False", "predict_scale=true", "sigma_end=0.5",
+        "enc_channels=[4, 8]", "dataset=synthetic"])
+    assert out.use_pallas is False
+    assert out.predict_scale is True
+    assert out.sigma_end == 0.5
+    assert out.enc_channels == (4, 8)     # list -> tuple (hashable)
+    assert out.dataset == "synthetic"

@@ -107,15 +107,33 @@ def main(argv=None):
     pts = jnp.asarray(rng.uniform(-0.4, 0.4, (B, S, N, 3)), jnp.float32)
     sig = jnp.full((B, S), 1.0, jnp.float32)
 
-    def render_loss(pts_):
-        sse = render_sse_fused(pts_, cams.quat[:, :, None],
-                               cams.distance[:, :, None], sig,
-                               batch["mask"], cfg)
-        return jnp.mean(sse)
+    # Time the SAME fused kernel the loss path uses — the RGB variant for
+    # predict_rgb presets (r3 fix: timing the sil-only kernel at c5 shapes
+    # misattributed the RGB kernel's extra cost to "loss_glue").
+    if cfg.predict_rgb:
+        from tpu_unsup_pc.ops.project import render_sse_rgb_fused
+        cols = jnp.asarray(rng.uniform(0, 1, (B, S, N, 3)), jnp.float32)
+
+        def render_loss(pts_, cols_):
+            sse = render_sse_rgb_fused(
+                pts_, cols_, cams.quat[:, :, None],
+                cams.distance[:, :, None], sig, batch["mask"],
+                batch["image"], cfg)
+            return jnp.mean(sse)
+
+        render_args = (pts, cols)
+    else:
+        def render_loss(pts_):
+            sse = render_sse_fused(pts_, cams.quat[:, :, None],
+                                   cams.distance[:, :, None], sig,
+                                   batch["mask"], cfg)
+            return jnp.mean(sse)
+
+        render_args = (pts,)
 
     if cfg.use_pallas:
         rg = jax.jit(jax.grad(render_loss))
-        res["render_grad"] = _time(rg, pts, iters=args.iters)
+        res["render_grad"] = _time(rg, *render_args, iters=args.iters)
 
     _, example_grads = jax.jit(lambda p_, b: jax.value_and_grad(
         training.loss_and_metrics, argnums=1, has_aux=True)(

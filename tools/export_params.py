@@ -44,12 +44,16 @@ def main(argv=None):
                    help="store float16 (halves size; ~1e-3 relative noise)")
     p.add_argument("--step", type=int, default=None,
                    help="export this checkpoint step (default: latest)")
+    p.add_argument("--set", action="append", dest="overrides", default=[],
+                   metavar="KEY=VALUE",
+                   help="Config overrides (same as train.py --set); must "
+                        "match the run's param-structure-changing fields")
     args = p.parse_args(argv)
 
     from tpu_unsup_pc.configs import presets
     from tpu_unsup_pc.utils.checkpoint import CheckpointManager
 
-    cfg = presets.get(args.preset)
+    cfg = presets.apply_overrides(presets.get(args.preset), args.overrides)
     cfg = cfg.replace(ckpt_dir=args.ckpt_dir)
     mgr = CheckpointManager(args.ckpt_dir)
     state, step = mgr.restore_latest(cfg, step=args.step)

@@ -68,3 +68,27 @@ def get(name: str) -> Config:
 
 def names():
     return sorted(_PRESETS)
+
+
+def apply_overrides(cfg: Config, overrides) -> Config:
+    """Apply repeatable CLI `--set KEY=VALUE` overrides to a Config.
+    Values parse as JSON; Python-style True/False/None are accepted too
+    (an easy typo for the JSON literals that would otherwise fall through
+    as truthy strings — "False" silently ENABLED the flag it looks like
+    it disables); anything else stays a string. Lists become tuples so
+    the frozen dataclass stays hashable."""
+    import json
+
+    over = {}
+    _py = {"True": True, "False": False, "None": None}
+    for kv in overrides:
+        k, v = kv.split("=", 1)
+        if v in _py:
+            v = _py[v]
+        else:
+            try:
+                v = json.loads(v)
+            except ValueError:
+                pass
+        over[k] = tuple(v) if isinstance(v, list) else v
+    return cfg.replace(**over).validate()

@@ -26,6 +26,7 @@ class PointDecoder(nn.Module):
     fc_dims: Sequence[int] = (1024, 1024)
     predict_rgb: bool = False
     predict_scale: bool = False
+    scale_clip: float = 0.35      # |log scale| bound (see Config.scale_clip)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -48,7 +49,8 @@ class PointDecoder(nn.Module):
         if self.predict_scale:
             s_raw = nn.Dense(1, dtype=self.dtype,
                              name="scale_head")(x).astype(jnp.float32)
-            scale = jnp.exp(jnp.clip(s_raw[..., 0], -3.0, 3.0))
+            scale = jnp.exp(jnp.clip(s_raw[..., 0], -self.scale_clip,
+                                     self.scale_clip))
             scale = scale.reshape(batch_shape)
         return DecodedCloud(points=pts.reshape(batch_shape
                                                + (self.num_points, 3)),

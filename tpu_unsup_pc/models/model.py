@@ -38,6 +38,7 @@ class DPCModel(nn.Module):
                                     fc_dims=cfg.fc_dims,
                                     predict_rgb=cfg.predict_rgb,
                                     predict_scale=cfg.predict_scale,
+                                    scale_clip=cfg.scale_clip,
                                     dtype=dtype)
         if cfg.predict_pose:
             self.pose_head = PoseHead(

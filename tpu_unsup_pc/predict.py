@@ -42,12 +42,18 @@ def parse_args(argv=None):
                    help="load params from a tools/export_params.py .npz "
                         "instead of an orbax checkpoint (the durable "
                         "committed artifacts under runs/)")
+    p.add_argument("--set", action="append", dest="overrides", default=[],
+                   metavar="KEY=VALUE",
+                   help="override any Config field (repeatable, same "
+                        "syntax as train.py --set); must match the "
+                        "checkpoint's training config for fields that "
+                        "change the param structure, e.g. predict_scale")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    cfg = presets.get(args.preset)
+    cfg = presets.apply_overrides(presets.get(args.preset), args.overrides)
     if args.dataset is not None:
         cfg = cfg.replace(dataset=args.dataset)
     if args.data_dir is not None:

@@ -117,15 +117,7 @@ def build_config(args):
         over["mesh_shape"] = (args.mesh,)
     if args.use_pallas:
         over["use_pallas"] = True
-    for kv in args.overrides:
-        k, v = kv.split("=", 1)
-        try:
-            import json
-            v = json.loads(v)
-        except ValueError:
-            pass
-        over[k] = tuple(v) if isinstance(v, list) else v
-    return cfg.replace(**over).validate()
+    return presets.apply_overrides(cfg.replace(**over), args.overrides)
 
 
 def main(argv=None):

@@ -38,6 +38,11 @@ class Config:
     fc_dims: Tuple[int, ...] = (1024, 1024)
     predict_rgb: bool = False      # per-point RGB (BASELINE config 5)
     predict_scale: bool = False    # learned global sigma scale (paper §3.1)
+    # |log scale| bound. Unbounded (3.0 ~ e^3=20x) the head defeats the
+    # sigma anneal — blur fits silhouettes without geometry: held-out
+    # chamfer 0.262 vs 0.065 matched baseline (runs/c1_scale, r3). Keep
+    # it a small multiplicative correction.
+    scale_clip: float = 0.35
 
     # ---- loss ----
     source_views: int = 0          # clouds decoded from first k views (0=all)
