@@ -52,6 +52,11 @@ def test_forward_rgb_pose_scale(rng):
     assert float(out.cloud.rgb.min()) >= 0 and float(out.cloud.rgb.max()) <= 1
     assert out.cloud.scale.shape == (B, V)
     assert float(out.cloud.scale.min()) > 0
+    # scale stays inside the clip rails (runs/c1_scale/SUMMARY.md: the
+    # unbounded head defeats the sigma anneal — the bound is load-bearing)
+    lo, hi = np.exp(-cfg.scale_clip), np.exp(cfg.scale_clip)
+    s = np.asarray(out.cloud.scale)
+    assert s.min() >= lo - 1e-6 and s.max() <= hi + 1e-6
     assert out.pose.candidates.shape == (B, V, 3, 4)
     norms = np.linalg.norm(np.asarray(out.pose.candidates), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
