@@ -24,8 +24,12 @@ if _os.environ.get("TPU_TESTS"):
 else:
     D, N, P, CHUNK, RADIUS = 16, 96, 3, 32, 9
 # scale-aware kernel-vs-XLA tolerances (measured on-chip margins +
-# headroom; see tests/_tolerances.py)
-from tests._tolerances import check_fwd, check_grad
+# headroom; see tests/_tolerances.py). Pure-reference computations run
+# at highest matmul precision so the bound measures the KERNEL's error,
+# not the reference's own MXU rounding (ref_precision docstring has the
+# on-chip numbers); loss-level A/B tests share the nets between both
+# sides and stay at production precision.
+from tests._tolerances import check_fwd, check_grad, ref_precision
 # compiled-TPU chunk alignment (see CHUNK above): small-shape
 # tests that hardcode chunk/point counts use these instead
 SMALL_CHUNK = 128 if _os.environ.get("TPU_TESTS") else 32
@@ -33,12 +37,13 @@ SMALL_N = 128 if _os.environ.get("TPU_TESTS") else 64
 
 
 def _ref_sil(g, sigma):
-    occ = jnp.stack([
-        splat_gauss_separable(g[i], D, sigma[i], radius=RADIUS,
-                              chunk=CHUNK, hat_correction=False)
-        for i in range(g.shape[0])])
-    v = jnp.clip(occ, 0, 1 - 1e-6)
-    return 1.0 - jnp.prod(1.0 - v, axis=1)
+    with ref_precision():
+        occ = jnp.stack([
+            splat_gauss_separable(g[i], D, sigma[i], radius=RADIUS,
+                                  chunk=CHUNK, hat_correction=False)
+            for i in range(g.shape[0])])
+        v = jnp.clip(occ, 0, 1 - 1e-6)
+        return 1.0 - jnp.prod(1.0 - v, axis=1)
 
 
 def _soa(g):
@@ -64,9 +69,10 @@ def test_fused_sil_h_tiled(rng):
                     .astype(np.float32))
     sigma = jnp.asarray([1.5], jnp.float32)
     sil = render_drc_pallas_soa(*_soa(g), sigma, Dg, RADIUS, SMALL_CHUNK)
-    occ = splat_gauss_separable(g[0], Dg, 1.5, radius=RADIUS, chunk=32,
-                                hat_correction=False)
-    ref = 1.0 - jnp.prod(1.0 - jnp.clip(occ, 0, 1 - 1e-6), axis=0)
+    with ref_precision():
+        occ = splat_gauss_separable(g[0], Dg, 1.5, radius=RADIUS, chunk=32,
+                                    hat_correction=False)
+        ref = 1.0 - jnp.prod(1.0 - jnp.clip(occ, 0, 1 - 1e-6), axis=0)
     check_fwd(sil[0], ref, "render_sil_h_tiled")
 
 
@@ -100,8 +106,9 @@ def test_fused_mse_fwd_bwd(rng):
 
 
 def _ref_rgb(cfg, pts, rgb, cams, sigma):
-    out = project_pointclouds_batched(pts, cams, sigma, cfg, rgb=rgb)
-    return out.silhouette, out.rgb_image
+    with ref_precision():
+        out = project_pointclouds_batched(pts, cams, sigma, cfg, rgb=rgb)
+        return out.silhouette, out.rgb_image
 
 
 def test_fused_rgb_matches_projector(rng):
@@ -138,15 +145,17 @@ def test_fused_soa_matches_projector(rng):
     cams = make_camera(az, el, cfg.camera_distance, cfg.focal_length)
     sigma = jnp.asarray([1.0, 1.3, 0.8], jnp.float32)
     sil_k, _ = render_silhouettes_fused(pts, cams, sigma, cfg)
-    ref = project_pointclouds_batched(pts, cams, sigma,
-                                      cfg.replace(use_pallas=False))
+    with ref_precision():
+        ref = project_pointclouds_batched(pts, cams, sigma,
+                                          cfg.replace(use_pallas=False))
     check_fwd(sil_k, ref.silhouette, "soa_render_sil_fwd")
     tgt = jnp.asarray(rng.normal(size=sil_k.shape).astype(np.float32))
     gk = jax.grad(lambda p: jnp.sum(
         render_silhouettes_fused(p, cams, sigma, cfg)[0] * tgt))(pts)
-    gr = jax.grad(lambda p: jnp.sum(project_pointclouds_batched(
-        p, cams, sigma, cfg.replace(use_pallas=False)).silhouette
-        * tgt))(pts)
+    with ref_precision():
+        gr = jax.grad(lambda p: jnp.sum(project_pointclouds_batched(
+            p, cams, sigma, cfg.replace(use_pallas=False)).silhouette
+            * tgt))(pts)
     check_grad(gk, gr, "soa_render_grad")
 
 
@@ -211,22 +220,21 @@ def test_fused_rgb_grads(rng):
         return jnp.sum(sil * tgt_s) + jnp.sum(img * tgt_i)
 
     def loss_r(gg, cc):
-        occ = splat_gauss_separable(gg[0], D, sigma[0], radius=RADIUS,
-                                    chunk=CHUNK, hat_correction=False)
-        vals = jnp.concatenate([jnp.ones_like(cc[0][:, :1]), cc[0]],
-                               axis=-1)
-        grids = splat_gauss_separable(gg[0], D, sigma[0], values=vals,
-                                      radius=RADIUS, chunk=CHUNK,
-                                      hat_correction=False)
-        occ, col = grids[0], grids[1:]
-        v = jnp.clip(occ, 0, 1 - 1e-6)
-        trans = jnp.cumprod(1 - v, axis=0)
-        tb = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]])
-        w = v * tb
-        sil = 1 - trans[-1]
-        cell = col / jnp.maximum(occ, 1e-6)
-        img = jnp.einsum("dhw,cdhw->cdhw", w, cell).sum(1)
-        return jnp.sum(sil * tgt_s[0]) + jnp.sum(img * tgt_i[0])
+        with ref_precision():
+            vals = jnp.concatenate([jnp.ones_like(cc[0][:, :1]), cc[0]],
+                                   axis=-1)
+            grids = splat_gauss_separable(gg[0], D, sigma[0], values=vals,
+                                          radius=RADIUS, chunk=CHUNK,
+                                          hat_correction=False)
+            occ, col = grids[0], grids[1:]
+            v = jnp.clip(occ, 0, 1 - 1e-6)
+            trans = jnp.cumprod(1 - v, axis=0)
+            tb = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]])
+            w = v * tb
+            sil = 1 - trans[-1]
+            cell = col / jnp.maximum(occ, 1e-6)
+            img = jnp.einsum("dhw,cdhw->cdhw", w, cell).sum(1)
+            return jnp.sum(sil * tgt_s[0]) + jnp.sum(img * tgt_i[0])
 
     gk, ck = jax.grad(loss_k, argnums=(0, 1))(g, rgb)
     gr, cr = jax.grad(loss_r, argnums=(0, 1))(g, rgb)
@@ -237,21 +245,23 @@ def test_fused_rgb_grads(rng):
 def _ref_rgb_render(g, c, sigma):
     """Composed XLA reference: per-pair occupancy + color splats, DRC
     collapse, expected-color compositing. g/c: (P, N, 3)."""
-    sils, imgs = [], []
-    for i in range(g.shape[0]):
-        vals = jnp.concatenate([jnp.ones_like(c[i][:, :1]), c[i]], axis=-1)
-        grids = splat_gauss_separable(g[i], D, sigma[i], values=vals,
-                                      radius=RADIUS, chunk=CHUNK,
-                                      hat_correction=False)
-        occ, col = grids[0], grids[1:]
-        v = jnp.clip(occ, 0, 1 - 1e-6)
-        trans = jnp.cumprod(1 - v, axis=0)
-        tb = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]])
-        w = v * tb
-        cell = col / jnp.maximum(occ, 1e-6)
-        sils.append(1 - trans[-1])
-        imgs.append((w[None] * cell).sum(1))
-    return jnp.stack(sils), jnp.stack(imgs)         # (P,H,W), (P,3,H,W)
+    with ref_precision():
+        sils, imgs = [], []
+        for i in range(g.shape[0]):
+            vals = jnp.concatenate([jnp.ones_like(c[i][:, :1]), c[i]],
+                                   axis=-1)
+            grids = splat_gauss_separable(g[i], D, sigma[i], values=vals,
+                                          radius=RADIUS, chunk=CHUNK,
+                                          hat_correction=False)
+            occ, col = grids[0], grids[1:]
+            v = jnp.clip(occ, 0, 1 - 1e-6)
+            trans = jnp.cumprod(1 - v, axis=0)
+            tb = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]])
+            w = v * tb
+            cell = col / jnp.maximum(occ, 1e-6)
+            sils.append(1 - trans[-1])
+            imgs.append((w[None] * cell).sum(1))
+        return jnp.stack(sils), jnp.stack(imgs)     # (P,H,W), (P,3,H,W)
 
 
 def test_fused_rgb_mse_fwd_bwd(rng):
@@ -357,10 +367,11 @@ def test_fused_mse_h_tiled(rng):
                        .astype(np.float32))
     sse = render_drc_mse_pallas_soa(*_soa(g), sigma, mask, (1, 1, 1, 1),
                                     Dg, RADIUS, SMALL_CHUNK)
-    occ = splat_gauss_separable(g[0], Dg, 1.5, radius=RADIUS, chunk=32,
-                                hat_correction=False)
-    sil = 1.0 - jnp.prod(1.0 - jnp.clip(occ, 0, 1 - 1e-6), axis=0)
-    ref = jnp.sum((sil - mask[0]) ** 2)
+    with ref_precision():
+        occ = splat_gauss_separable(g[0], Dg, 1.5, radius=RADIUS, chunk=32,
+                                    hat_correction=False)
+        sil = 1.0 - jnp.prod(1.0 - jnp.clip(occ, 0, 1 - 1e-6), axis=0)
+        ref = jnp.sum((sil - mask[0]) ** 2)
     check_fwd(float(sse[0]), float(ref), "mse_h_tiled_fwd")
     gk = jax.grad(lambda x: jnp.sum(render_drc_mse_pallas_soa(
         *_soa(x), sigma, mask, (1, 1, 1, 1), Dg, RADIUS, SMALL_CHUNK)))(g)
@@ -368,7 +379,8 @@ def test_fused_mse_h_tiled(rng):
                                             chunk=32, hat_correction=False)
     ref_f = lambda x: jnp.sum((1.0 - jnp.prod(
         1.0 - jnp.clip(occ_f(x), 0, 1 - 1e-6), axis=0) - mask[0]) ** 2)
-    gr = jax.grad(ref_f)(g)
+    with ref_precision():
+        gr = jax.grad(ref_f)(g)
     check_grad(gk, gr, "mse_h_tiled_grad")
 
 
