@@ -384,6 +384,83 @@ def test_fused_mse_h_tiled(rng):
     check_grad(gk, gr, "mse_h_tiled_grad")
 
 
+# ------------------------------------------------------- one-pass MSE
+
+def test_onepass_mse_matches_twopass(rng):
+    """One-pass value+Jacobian kernel == the two-kernel custom-VJP op,
+    values AND gradients, under a DATA-DEPENDENT cotangent (softmin over
+    the per-pair SSE — the pose-ensemble shape): the one-pass op computes
+    J with seed=1 in the forward and rescales by the incoming cotangent,
+    so any downstream loss must match. Kernel-vs-kernel (both Pallas), no
+    ref_precision."""
+    from tpu_unsup_pc.ops.pallas.render_kernel import (
+        render_drc_mse_onepass, render_drc_mse_pallas_soa)
+    B, S, V, K = 2, 2, 2, 2
+    Pn = B * S * V * K
+    g = jnp.asarray(rng.uniform(-1, D, size=(Pn, N, 3)).astype(np.float32))
+    sigma = jnp.asarray(rng.uniform(0.8, 1.6, size=(Pn,))
+                        .astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(B * V, D, D)) > 0.5)
+                        .astype(np.float32))
+    ps = (B, S, V, K)
+
+    def loss(op, x):
+        sse = op(*_soa(x), sigma, masks, ps, D, RADIUS, CHUNK)
+        w = jax.nn.softmax(-sse.reshape(B, S, V, K)).reshape(Pn)
+        return jnp.sum(sse * w)
+
+    one = lambda x: loss(render_drc_mse_onepass, x)
+    two = lambda x: loss(render_drc_mse_pallas_soa, x)
+    check_fwd(float(one(g)), float(two(g)), "onepass_mse_value")
+    g1 = jax.grad(one)(g)
+    g2 = jax.grad(two)(g)
+    check_grad(g1, g2, "onepass_mse_grad")
+
+
+def test_onepass_rgb_mse_matches_twopass(rng):
+    """One-pass RGB value+ct-weighted-gradient kernel == the two-kernel
+    op under its contract loss sum(ct * sse), values and coord/color
+    gradients — plus a proportional loss (2x) to exercise the lam
+    rescale. Kernel-vs-kernel, no ref_precision."""
+    from tpu_unsup_pc.ops.pallas.render_kernel import (
+        render_drc_rgb_mse_onepass, render_drc_rgb_mse_pallas_soa)
+    B, S, V, K = 2, 2, 2, 1
+    Pn = B * S * V * K
+    g = jnp.asarray(rng.uniform(-1, D, size=(Pn, N, 3)).astype(np.float32))
+    c = jnp.asarray(rng.uniform(size=(Pn, N, 3)).astype(np.float32))
+    sigma = jnp.asarray(rng.uniform(0.8, 1.6, size=(Pn,))
+                        .astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(B * V, D, D)) > 0.5)
+                        .astype(np.float32))
+    imgs = jnp.asarray(rng.uniform(size=(B * V, 3, D, D))
+                       .astype(np.float32))
+    ps = (B, S, V, K)
+    # ct with a zeroed pair (excluded-pair case) and distinct columns
+    ct = rng.uniform(0.1, 2.0, size=(Pn, 2)).astype(np.float32)
+    ct[1] = 0.0
+    ct = jnp.asarray(ct)
+
+    for lam, tag in ((1.0, ""), (2.0, "_lam2")):
+        def one(gg, cc):
+            sse = render_drc_rgb_mse_onepass(*_soa(gg), *_soa(cc), sigma,
+                                             masks, imgs, ct, ps, D,
+                                             RADIUS, CHUNK)
+            return lam * jnp.sum(sse * ct)
+
+        def two(gg, cc):
+            sse = render_drc_rgb_mse_pallas_soa(*_soa(gg), *_soa(cc),
+                                                sigma, masks, imgs, ps, D,
+                                                RADIUS, CHUNK)
+            return lam * jnp.sum(sse * ct)
+
+        check_fwd(float(one(g, c)), float(two(g, c)),
+                  f"onepass_rgb_value{tag}")
+        g1, c1 = jax.grad(one, argnums=(0, 1))(g, c)
+        g2, c2 = jax.grad(two, argnums=(0, 1))(g, c)
+        check_grad(g1, g2, f"onepass_rgb_dcoords{tag}")
+        check_grad(c1, c2, f"onepass_rgb_dcolors{tag}")
+
+
 # ------------------------------------------------------- depth-banded MSE
 
 def _banded_refs(rng, Dg, Np, Pn, z_lo, z_hi):

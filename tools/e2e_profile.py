@@ -10,7 +10,12 @@ Components (all jitted, block_until_ready-timed, best-of-N):
   loss_grad      value_and_grad(loss_and_metrics) only (no optimizer)
   model_fwd      encoder+decoder forward
   model_fwd_bwd  encoder+decoder forward + backward (cheap scalar head)
-  render_grad    fused render+MSE fwd+bwd alone at the same pair shapes
+  render_grad    fused render+MSE VALUE_AND_grad alone at the same pair
+                 shapes — value_and_grad, not grad: under grad-only XLA
+                 dead-code-eliminates the forward kernel (the custom VJP
+                 rematerializes in-kernel), which is NOT what training
+                 executes; the r3 "loss_glue" mis-attribution came from
+                 exactly that (see docs/profile_r3.md addendum)
   optimizer      apply_gradients alone
 """
 
@@ -113,13 +118,16 @@ def main(argv=None):
     if cfg.predict_rgb:
         from tpu_unsup_pc.ops.project import render_sse_rgb_fused
         cols = jnp.asarray(rng.uniform(0, 1, (B, S, N, 3)), jnp.float32)
+        # ct routes through the one-pass kernel exactly like the
+        # known-pose c5 loss (loss written as sum(ct * sse))
+        ct = jnp.full((B, S, V, 1, 2), 0.1, jnp.float32)
 
         def render_loss(pts_, cols_):
             sse = render_sse_rgb_fused(
                 pts_, cols_, cams.quat[:, :, None],
                 cams.distance[:, :, None], sig, batch["mask"],
-                batch["image"], cfg)
-            return jnp.mean(sse)
+                batch["image"], cfg, ct=ct)
+            return jnp.sum(sse * ct)
 
         render_args = (pts, cols)
     else:
@@ -132,7 +140,7 @@ def main(argv=None):
         render_args = (pts,)
 
     if cfg.use_pallas:
-        rg = jax.jit(jax.grad(render_loss))
+        rg = jax.jit(jax.value_and_grad(render_loss))
         res["render_grad"] = _time(rg, *render_args, iters=args.iters)
 
     _, example_grads = jax.jit(lambda p_, b: jax.value_and_grad(

@@ -122,18 +122,28 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
         pw = _pair_weights(cfg, S, V)[None]                 # (1,S,V)
         if fuse_rgb:
             # fused RGB render + both losses: neither silhouettes nor
-            # composited images ever leave VMEM (the c5 fast path)
+            # composited images ever leave VMEM (the c5 fast path). The
+            # per-pair loss coefficients ct are batch constants (pair
+            # weights / mask-sum normalizers), so the ONE-PASS kernel can
+            # emit value and ct-weighted gradient together; the total
+            # MUST be written as sum(ct * sse) (one-pass contract).
+            H = W = cfg.vox_size
+            mask_sum = jnp.sum(batch["mask"], axis=(-2, -1))     # (B,V)
+            sum_pw = jnp.maximum(B * jnp.sum(pw), 1.0)
+            den = jnp.maximum(jnp.sum(mask_sum[:, None] * pw), 1.0)
+            ct = jnp.stack([
+                jnp.broadcast_to(pw / (H * W * sum_pw), (B, S, V)),
+                jnp.broadcast_to(cfg.rgb_loss_weight * pw / den,
+                                 (B, S, V))], axis=-1)       # (B,S,V,2)
             sse = render_sse_rgb_fused(
                 points, rgb, cams.quat[:, :, None],
                 cams.distance[:, :, None], sigma_src, batch["mask"],
-                batch["image"], cfg)[:, :, :, 0]            # (B,S,V,2)
-            H = W = cfg.vox_size
+                batch["image"], cfg,
+                ct=ct[:, :, :, None, :])[:, :, :, 0]        # (B,S,V,2)
+            total = jnp.sum(sse * ct)
+            # metrics recomputed from sse (aux only — not differentiated)
             loss_sil = _wmean(sse[..., 0] / (H * W), pw)
-            mask_sum = jnp.sum(batch["mask"], axis=(-2, -1))     # (B,V)
-            num = jnp.sum(sse[..., 1] * pw)
-            den = jnp.maximum(jnp.sum(mask_sum[:, None] * pw), 1.0)
-            loss_rgb = num / den
-            total = loss_sil + cfg.rgb_loss_weight * loss_rgb
+            loss_rgb = jnp.sum(sse[..., 1] * pw) / den
             return total, {"loss_sil": loss_sil, "loss_rgb": loss_rgb,
                            "loss": total, **scale_metrics}
         if fuse_mse:

@@ -828,6 +828,170 @@ render_drc_mse_pallas_soa.defvjp(_mse_soa_vjp_fwd, _mse_soa_vjp_bwd)
 
 
 # ===================================================================
+# ONE-PASS fused render + MSE + gradient (r3, traced discovery in
+# docs/profile_r3.md): under jax.grad the two-kernel op's FORWARD kernel
+# is dead-code-eliminated (the custom VJP rematerializes in-kernel and
+# its residuals are just the inputs), so grad-only timings measured the
+# backward alone — but training runs value_and_grad, which needs the SSE
+# values too, so BOTH kernels ran every step (c5 trace: fwd 21.4ms + bwd
+# 60.0ms = 96% of the 85ms step). The backward kernel already recomputes
+# everything the forward computes; emitting the per-pair SSE from it
+# costs two row-sum reductions. This one-pass variant therefore returns
+# sse AND the UNSCALED coordinate Jacobians J_p = d sse_p / d coords_p
+# (in-kernel seed = 1), and the custom VJP's backward is a trivial XLA
+# rescale dg = gsse_p * J_p — exact for ANY downstream loss, including
+# the pose-ensemble argmin branch (the data-dependent cotangent arrives
+# after the kernel ran, as a per-pair scale). value_and_grad executes
+# ONE kernel instead of two.
+# ===================================================================
+
+def _mse_onepass_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, mask_ref,
+                            sse_ref, dgz_ref, dgy_ref, dgx_ref, acc_ref,
+                            cot_ref, *, D, HT, radius, chunk, bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    inv_s2 = 2.0 * inv2s2
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        dgz_ref[...] = jnp.zeros_like(dgz_ref)
+        dgy_ref[...] = jnp.zeros_like(dgy_ref)
+        dgx_ref[...] = jnp.zeros_like(dgx_ref)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _accumulate_soa(acc_ref, gz_ref, gy_ref, gx_ref, sigma, D, HT, radius,
+                    chunk, h0, bf16)
+
+    def collapse(d, trans):
+        v = jnp.clip(acc_ref[pl.ds(d * HT, HT), :], 0.0, 1.0 - _EPS)
+        return trans * (1.0 - v)
+
+    trans = jax.lax.fori_loop(0, D, collapse,
+                              jnp.ones((HT, D), jnp.float32))
+    err = (1.0 - trans) - mask_ref[0]                    # sil - mask
+    sse_ref[...] = jnp.zeros_like(sse_ref)
+    sse_ref[0, 0, 0, :] = jnp.sum(err * err, axis=0)
+    # UNSCALED seed (gsse = 1): downstream cotangents are applied as a
+    # per-pair rescale in the custom VJP's backward
+    gt = 2.0 * err * trans
+
+    def fill_cot(d, _):
+        raw = acc_ref[pl.ds(d * HT, HT), :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        mask = (raw < 1.0 - _EPS).astype(jnp.float32)
+        cot_ref[pl.ds(d * HT, HT), :] = gt / (1.0 - v) * mask
+        return 0
+
+    jax.lax.fori_loop(0, D, fill_cot, 0)
+
+    n_chunks = gz_ref.shape[2] // chunk
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        gz = gz_ref[0, 0, sl]
+        gy_full = gy_ref[0, 0, sl]
+        gx = gx_ref[0, 0, sl]
+        gy = gy_full - h0
+        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, dlzz = _log_norm(gz, inv2s2, radius)
+        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
+        zx, dlzx = _log_norm(gx, inv2s2, radius)
+        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+        gout = cot_ref[...]
+        d_ww = _dot(p_raw, gout, (((1,), (0,)), ((), ())), bf16)
+        d_p = _dot(ww, gout, (((1,), (1,)), ((), ())), bf16)
+        pd = d_p * p_raw
+        dwsum = jnp.sum(d_ww * ww, axis=1)
+        dgz_ref[0, 0, sl] += (jnp.sum(pd * dzd, axis=1) * inv_s2) \
+            - dlzz * dwsum
+        dgy_ref[0, 0, sl] += (jnp.sum(pd * dyd, axis=1) * inv_s2) \
+            - dlzy * dwsum
+        dgx_ref[0, 0, sl] += (jnp.sum(d_ww * ww * dxd, axis=1) * inv_s2) \
+            - dlzx * dwsum
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _run_mse_onepass_soa(gz, gy, gx, sigma, masks, S, V, K, D, radius,
+                         chunk, bf16):
+    P, N = gz.shape
+    HT = _h_tile(D)
+    chunk = _chunk_budget(D, HT, chunk, live=4,
+                          reserve=2 * D * HT * D * 4)
+    gz, gy, gx = (c.reshape(P, 1, N) for c in (gz, gy, gx))
+    coord_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                            memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((P, 1, N), jnp.float32)
+    sse, dgz, dgy, dgx = pl.pallas_call(
+        functools.partial(_mse_onepass_kernel_soa, D=D, HT=HT,
+                          radius=radius, chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  coord_spec, coord_spec, coord_spec,
+                  pl.BlockSpec((1, HT, D), _mask_index_map(S, V, K),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, 1, 8, D), lambda p, h: (p, h, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   out_spec, out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((P, D // HT, 8, D), jnp.float32),
+                   shp, shp, shp),
+        scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32),
+                        pltpu.VMEM((D * HT, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), gz, gy, gx, masks)
+    return (jnp.sum(sse, axis=(-3, -2, -1)),
+            dgz.reshape(P, N), dgy.reshape(P, N), dgx.reshape(P, N))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def render_drc_mse_onepass(gz, gy, gx, sigma, masks, pair_shape: tuple,
+                           vox_size: int, radius: int = 13,
+                           chunk: int = 512,
+                           bf16: bool = False) -> jnp.ndarray:
+    """One-pass fused render + squared-error + Jacobian.
+
+    Same contract and return value as render_drc_mse_pallas_soa, but
+    value_and_grad runs ONE kernel (the rematerializing backward,
+    extended to emit the SSE) instead of forward + backward. Use on
+    training paths; value-only callers should prefer the two-kernel op
+    (this one always pays the gradient contractions)."""
+    B, S, V, K = pair_shape
+    sse, _, _, _ = _run_mse_onepass_soa(gz, gy, gx, sigma, masks, S, V, K,
+                                        vox_size, radius, chunk, bf16)
+    return sse
+
+
+def _mse_onepass_vjp_fwd(gz, gy, gx, sigma, masks, pair_shape, vox_size,
+                         radius, chunk, bf16):
+    B, S, V, K = pair_shape
+    sse, jz, jy, jx = _run_mse_onepass_soa(gz, gy, gx, sigma, masks, S, V,
+                                           K, vox_size, radius, chunk,
+                                           bf16)
+    return sse, (jz, jy, jx, sigma, masks)
+
+
+def _mse_onepass_vjp_bwd(pair_shape, vox_size, radius, chunk, bf16, res,
+                         gsse):
+    jz, jy, jx, sigma, masks = res
+    g = gsse[:, None]
+    return (g * jz, g * jy, g * jx, jnp.zeros_like(sigma),
+            jnp.zeros_like(masks))
+
+
+render_drc_mse_onepass.defvjp(_mse_onepass_vjp_fwd, _mse_onepass_vjp_bwd)
+
+
+# ===================================================================
 # Depth-BANDED fused render + MSE — the 128^3 kernel (profile_r3.md #3):
 # the dense (chunk, D*HT) pair weight computes exp() for all D depth rows
 # while the Gaussian support is only +-radius cells, so at 128^3 >90% of
@@ -1401,3 +1565,170 @@ def _rgb_mse_soa_vjp_bwd(pair_shape, vox_size, radius, chunk, bf16, res,
 
 render_drc_rgb_mse_pallas_soa.defvjp(_rgb_mse_soa_vjp_fwd,
                                      _rgb_mse_soa_vjp_bwd)
+
+
+# ===================================================================
+# ONE-PASS fused RGB render + MSE + gradient — same DCE discovery as
+# render_drc_mse_onepass (see that block's comment), applied to the c5
+# training path where both kernels are ~3x bigger. The SSE here has TWO
+# columns (sil, masked-RGB) whose cotangents differ, so the unscaled-
+# Jacobian trick would double the gradient contractions; instead the
+# caller passes the per-pair cotangent ct (P, 2) INTO the kernel (it
+# seeds both in-kernel cotangents exactly as the two-kernel backward
+# does) and the custom VJP's backward rescales the stored ct-weighted
+# gradients by the per-pair ratio gsse/ct.
+#
+# CONTRACT: the surrounding loss must be linear in sse with per-pair
+# coefficient vectors PROPORTIONAL to ct (write it as sum(ct * sse), so
+# the incoming cotangent equals ct and the rescale is exactly 1). That
+# holds for the known-pose c5 branch, where ct is a batch constant
+# (pair weights / mask-sum normalizers). The pose-ensemble RGB branch
+# has argmin-dependent cotangents — it keeps the two-kernel op.
+# ===================================================================
+
+def _rgb_mse_onepass_kernel_soa(sigma_ref, ct_ref, gz_ref, gy_ref, gx_ref,
+                                cr_ref, cg_ref, cb_ref, mask_ref, imgt_ref,
+                                sse_ref, dgz_ref, dgy_ref, dgx_ref,
+                                dcr_ref, dcg_ref, dcb_ref, packed_s,
+                                occ_s, r_s, g_s, b_s, t_s, *, D, HT,
+                                radius, chunk, bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[p, 0]
+    inv2s2 = 0.5 / (sigma * sigma)
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        for ref in (dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    packed_s[...] = jnp.zeros_like(packed_s)
+    _accumulate_rgb_packed(packed_s, gz_ref, gy_ref, gx_ref, cr_ref,
+                           cg_ref, cb_ref, sigma, D, HT, radius, chunk,
+                           h0, bf16)
+    _unpack4(packed_s, occ_s, r_s, g_s, b_s, D)
+
+    def fwd_sweep(d, carry):
+        trans, img = carry
+        sl = pl.ds(d * HT, HT)
+        t_s[sl, :] = trans
+        raw = occ_s[sl, :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        w = v * trans
+        denom = jnp.maximum(raw, _ONORM_EPS)
+        img = img + jnp.stack([
+            w * r_s[sl, :] / denom,
+            w * g_s[sl, :] / denom,
+            w * b_s[sl, :] / denom])
+        return trans * (1.0 - v), img
+
+    trans, img = jax.lax.fori_loop(
+        0, D, fwd_sweep, (jnp.ones((HT, D), jnp.float32),
+                          jnp.zeros((3, HT, D), jnp.float32)))
+    mask = mask_ref[0]
+    err_s = (1.0 - trans) - mask
+    err_i = img - imgt_ref[0]
+    sse_ref[...] = jnp.zeros_like(sse_ref)
+    sse_ref[0, 0, 0, :] = jnp.sum(err_s * err_s, axis=0)
+    sse_ref[0, 0, 1, :] = jnp.sum(jnp.sum(err_i * err_i, axis=0) * mask,
+                                  axis=0)
+    # ct-weighted in-kernel seeds (the VJP backward rescales by gsse/ct)
+    gsil = ct_ref[p, 0] * 2.0 * err_s
+    gimg = ct_ref[p, 1] * 2.0 * err_i * mask[None]
+    _rgb_rev_sweep(occ_s, r_s, g_s, b_s, t_s, gsil, gimg, D, HT)
+    _pack4(packed_s, occ_s, r_s, g_s, b_s, D)
+    _rgb_grad_chunks(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
+                     dgz_ref, dgy_ref, dgx_ref, dcr_ref, dcg_ref, dcb_ref,
+                     packed_s, inv2s2, h0, D, HT, radius, chunk, bf16)
+
+
+def _run_rgb_mse_onepass_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
+                             ct, S, V, K, D, radius, chunk, bf16):
+    P, N = gz.shape
+    HT = _h_tile_rgb(D)
+    chunk = _chunk_budget(D, HT, chunk, live=12,
+                          reserve=9 * D * HT * D * 4,
+                          budget=56 * 2 ** 20)
+    ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
+    spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((P, 1, N), jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_rgb_mse_onepass_kernel_soa, D=D, HT=HT,
+                          radius=radius, chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [spec] * 6 + [
+            pl.BlockSpec((1, HT, D), _mask_index_map(S, V, K),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, HT, D), _imgt_index_map(S, V, K),
+                         memory_space=pltpu.VMEM)],
+        out_specs=tuple([pl.BlockSpec((1, 1, 8, D),
+                                      lambda p, h: (p, h, 0, 0),
+                                      memory_space=pltpu.VMEM)]
+                        + [spec] * 6),
+        out_shape=tuple([jax.ShapeDtypeStruct((P, D // HT, 8, D),
+                                              jnp.float32)] + [shp] * 6),
+        scratch_shapes=[pltpu.VMEM((D * HT, 4 * D), jnp.float32)]
+                       + [pltpu.VMEM((D * HT, D), jnp.float32)
+                          for _ in range(5)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sigma.reshape(P, 1), ct, *ops, masks, images)
+    sse = jnp.sum(outs[0], axis=(1, 3))[:, :2]            # (P, 2)
+    return (sse,) + tuple(o.reshape(P, N) for o in outs[1:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def render_drc_rgb_mse_onepass(gz, gy, gx, cr, cg, cb, sigma, masks,
+                               images, ct, pair_shape: tuple,
+                               vox_size: int, radius: int = 13,
+                               chunk: int = 512,
+                               bf16: bool = False) -> jnp.ndarray:
+    """One-pass fused RGB render + squared-errors + ct-weighted gradient.
+
+    Same contract and return value as render_drc_rgb_mse_pallas_soa,
+    plus ct: (P, 2) per-pair loss coefficients — the surrounding loss
+    must be sum(ct * sse) (or proportional per pair; see the block
+    comment). value_and_grad runs ONE kernel instead of two. ct, sigma,
+    masks and images get zero cotangents."""
+    B, S, V, K = pair_shape
+    out = _run_rgb_mse_onepass_soa(gz, gy, gx, cr, cg, cb, sigma, masks,
+                                   images, ct, S, V, K, vox_size, radius,
+                                   chunk, bf16)
+    return out[0]
+
+
+def _rgb_mse_onepass_vjp_fwd(gz, gy, gx, cr, cg, cb, sigma, masks, images,
+                             ct, pair_shape, vox_size, radius, chunk,
+                             bf16):
+    B, S, V, K = pair_shape
+    out = _run_rgb_mse_onepass_soa(gz, gy, gx, cr, cg, cb, sigma, masks,
+                                   images, ct, S, V, K, vox_size, radius,
+                                   chunk, bf16)
+    return out[0], (out[1:], ct, sigma, masks, images)
+
+
+def _rgb_mse_onepass_vjp_bwd(pair_shape, vox_size, radius, chunk, bf16,
+                             res, gsse):
+    grads, ct, sigma, masks, images = res
+    # per-pair rescale gsse/ct: exactly 1 when the loss is sum(ct * sse);
+    # proportional losses (gsse = lam * ct) rescale by lam. Excluded
+    # pairs (ct == 0 in both columns) carry zero stored gradients.
+    lam = jnp.where(ct[:, 0] != 0, gsse[:, 0] / jnp.where(ct[:, 0] != 0,
+                                                          ct[:, 0], 1.0),
+                    jnp.where(ct[:, 1] != 0,
+                              gsse[:, 1] / jnp.where(ct[:, 1] != 0,
+                                                     ct[:, 1], 1.0), 0.0))
+    lam = lam[:, None]
+    return tuple(lam * g for g in grads) + (
+        jnp.zeros_like(sigma), jnp.zeros_like(masks),
+        jnp.zeros_like(images), jnp.zeros_like(ct))
+
+
+render_drc_rgb_mse_onepass.defvjp(_rgb_mse_onepass_vjp_fwd,
+                                  _rgb_mse_onepass_vjp_bwd)

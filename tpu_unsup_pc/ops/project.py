@@ -177,8 +177,14 @@ def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
     fuses it), so the only (B*S*V*K, N)-sized arrays ever materialized are
     the three SoA coordinate operands the kernel needs; silhouettes and
     their cotangents never exist in HBM, and masks stay compact (B*V,H,W)
-    deduplicated by the kernel's index_map."""
-    from tpu_unsup_pc.ops.pallas.render_kernel import render_drc_mse_auto
+    deduplicated by the kernel's index_map.
+
+    With cfg.pallas_onepass (default) and no depth banding, the one-pass
+    value+Jacobian kernel serves value_and_grad with a single kernel
+    launch (exact for any downstream loss, argmin selection included —
+    see render_drc_mse_onepass)."""
+    from tpu_unsup_pc.ops.pallas.render_kernel import (
+        render_drc_mse_auto, render_drc_mse_onepass)
     B, S, N = points.shape[:3]
     V, K = quats.shape[1], quats.shape[2]
     D = cfg.vox_size
@@ -201,17 +207,24 @@ def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
                                (B, S, V, K)).reshape(P)
     sigma_k = jnp.sqrt(sigma_p ** 2 + 1.0 / 6.0)    # hat-variance corr.
     band = None if cfg.pallas_band < 0 else cfg.pallas_band
-    sse = render_drc_mse_auto(
-        gz, gy, gx, sigma_k, masks.reshape(B * V, *masks.shape[-2:]),
-        (B, S, V, K), D, radius, cfg.point_chunk, cfg.pallas_bf16,
-        band=band)
+    masks_c = masks.reshape(B * V, *masks.shape[-2:])
+    if cfg.pallas_onepass and not band:
+        sse = render_drc_mse_onepass(gz, gy, gx, sigma_k, masks_c,
+                                     (B, S, V, K), D, radius,
+                                     cfg.point_chunk, cfg.pallas_bf16)
+    else:
+        sse = render_drc_mse_auto(gz, gy, gx, sigma_k, masks_c,
+                                  (B, S, V, K), D, radius,
+                                  cfg.point_chunk, cfg.pallas_bf16,
+                                  band=band)
     return sse.reshape(B, S, V, K)
 
 
 def render_sse_rgb_fused(points: jnp.ndarray, rgb: jnp.ndarray,
                          quats: jnp.ndarray, dists: jnp.ndarray,
                          sigma: jnp.ndarray, masks: jnp.ndarray,
-                         images: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+                         images: jnp.ndarray, cfg: Config,
+                         ct: jnp.ndarray | None = None) -> jnp.ndarray:
     """Fused RGB render + squared errors for every (source, target
     [, candidate]) pair — the c5 training fast path.
 
@@ -223,13 +236,17 @@ def render_sse_rgb_fused(points: jnp.ndarray, rgb: jnp.ndarray,
       sigma:  (B, S) splat sigmas.
       masks:  (B, V, H, W) target masks.
       images: (B, V, H, W, 3) target images.
+      ct:     optional (B, S, V, K, 2) per-pair loss coefficients — when
+        given (and cfg.pallas_onepass), the one-pass value+gradient
+        kernel serves value_and_grad with a single launch; the caller's
+        loss MUST be sum(ct * sse) (see render_drc_rgb_mse_onepass).
 
     Returns (B, S, V, K, 2): [..., 0] silhouette SSE, [..., 1] masked RGB
     SSE (sum_c (img_c - target_c)^2 * mask). Neither silhouettes nor
     composited images ever exist in HBM; masks/images stay compact
     (B*V, ...) deduplicated by the kernel's index_maps."""
     from tpu_unsup_pc.ops.pallas.render_kernel import (
-        render_drc_rgb_mse_pallas_soa)
+        render_drc_rgb_mse_onepass, render_drc_rgb_mse_pallas_soa)
     B, S, N = points.shape[:3]
     V, K = quats.shape[1], quats.shape[2]
     D = cfg.vox_size
@@ -258,10 +275,17 @@ def render_sse_rgb_fused(points: jnp.ndarray, rgb: jnp.ndarray,
                                (B, S, V, K)).reshape(P)
     sigma_k = jnp.sqrt(sigma_p ** 2 + 1.0 / 6.0)    # hat-variance corr.
     H, W = masks.shape[-2:]
-    sse = render_drc_rgb_mse_pallas_soa(
-        gz, gy, gx, cr, cg, cb, sigma_k, masks.reshape(B * V, H, W),
-        jnp.moveaxis(images, -1, 2).reshape(B * V, 3, H, W),
-        (B, S, V, K), D, radius, cfg.point_chunk, cfg.pallas_bf16)
+    masks_c = masks.reshape(B * V, H, W)
+    images_c = jnp.moveaxis(images, -1, 2).reshape(B * V, 3, H, W)
+    if ct is not None and cfg.pallas_onepass:
+        sse = render_drc_rgb_mse_onepass(
+            gz, gy, gx, cr, cg, cb, sigma_k, masks_c, images_c,
+            ct.reshape(P, 2), (B, S, V, K), D, radius, cfg.point_chunk,
+            cfg.pallas_bf16)
+    else:
+        sse = render_drc_rgb_mse_pallas_soa(
+            gz, gy, gx, cr, cg, cb, sigma_k, masks_c, images_c,
+            (B, S, V, K), D, radius, cfg.point_chunk, cfg.pallas_bf16)
     return sse.reshape(B, S, V, K, 2)
 
 

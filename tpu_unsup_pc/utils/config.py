@@ -123,6 +123,12 @@ class Config:
     # measured default — the depth-sort wrapper costs more than banding
     # saves on TPU, see render_drc_mse_auto), else a multiple of 8
     pallas_band: int = -1
+    # one-pass value+gradient render+MSE kernels (render_drc_mse_onepass):
+    # value_and_grad runs ONE rematerializing kernel instead of fwd + bwd
+    # (the fwd kernel is pure overhead in training — see the one-pass
+    # block comment in ops/pallas/render_kernel.py). Escape hatch only;
+    # equivalence is tested, so there is no quality reason to disable.
+    pallas_onepass: bool = True
     point_chunk: int = 512         # chunk size for the separable-matmul splat
 
     # ---- checkpoint / logging ----
