@@ -68,9 +68,16 @@ def _h_tile(D: int) -> int:
 
 
 def _chunk_budget(D: int, HT: int, chunk: int, live: int,
-                  reserve: int, budget: int = 14 * 2 ** 20) -> int:
+                  reserve: int, budget: int = 40 * 2 ** 20) -> int:
     """Largest power-of-two chunk whose `live` (chunk, D*HT) f32 buffers
-    fit in (budget - reserve)."""
+    fit in (budget - reserve).
+
+    budget 40MB (was 14MB, r3 measured sweep on v5e-1, one-pass kernel
+    fwd+bwd): 14/28/40/48MB -> c4@128^3 28.1/26.8/25.5/25.6ms and
+    c1@64^3 19.1/18.3/17.6/17.6ms — the deeper point-chunks (128->512 at
+    128^3) fatten the forward matmul's contraction depth; 40MB leaves
+    headroom under the 64MB vmem_limit for Mosaic's conservative
+    liveness."""
     c = chunk
     while c > 8 and live * c * D * HT * 4 > budget - reserve:
         c //= 2
