@@ -417,6 +417,114 @@ def test_onepass_mse_matches_twopass(rng):
     check_grad(g1, g2, "onepass_mse_grad")
 
 
+def test_onepass_sigma_grad(rng):
+    """sigma_grad=True: the one-pass kernel's analytic per-pair sigma
+    Jacobian matches the splat_gauss_separable reference under a weighted
+    sse sum (per-pair cotangents differ); the flag must not perturb the
+    coordinate gradients, and flag-off keeps the zero-cotangent
+    contract."""
+    from tpu_unsup_pc.ops.pallas.render_kernel import render_drc_mse_onepass
+    B, S, V, K = 1, 2, 3, 1
+    Pn = B * S * V * K
+    g = jnp.asarray(rng.uniform(-1, D, size=(Pn, N, 3)).astype(np.float32))
+    sigma = jnp.asarray(rng.uniform(0.9, 1.7, size=(Pn,))
+                        .astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(B * V, D, D)) > 0.5)
+                        .astype(np.float32))
+    w = jnp.asarray(rng.uniform(0.1, 2.0, size=(Pn,)).astype(np.float32))
+    ps = (B, S, V, K)
+
+    def m_full():
+        m = masks.reshape(B, 1, V, 1, D, D)
+        return jnp.broadcast_to(m, (B, S, V, K, D, D)).reshape(Pn, D, D)
+
+    def ref_loss(sig):
+        return jnp.sum(
+            jnp.sum((_ref_sil(g, sig) - m_full()) ** 2, axis=(-2, -1)) * w)
+
+    def one_loss(sig, sg):
+        return jnp.sum(render_drc_mse_onepass(
+            *_soa(g), sig, masks, ps, D, RADIUS, CHUNK, False, sg) * w)
+
+    gs_k = jax.grad(lambda s: one_loss(s, True))(sigma)
+    gs_r = jax.grad(ref_loss)(sigma)
+    check_grad(gs_k, gs_r, "onepass_sigma_grad")
+    # flag off: zero cotangent by contract
+    gs_off = jax.grad(lambda s: one_loss(s, False))(sigma)
+    assert float(jnp.max(jnp.abs(gs_off))) == 0.0
+    # sse values and coordinate grads identical with the flag on/off
+    def coord_loss(x, sg):
+        return jnp.sum(render_drc_mse_onepass(
+            *_soa(x), sigma, masks, ps, D, RADIUS, CHUNK, False, sg) * w)
+    np.testing.assert_allclose(np.asarray(coord_loss(g, True)),
+                               np.asarray(coord_loss(g, False)), rtol=1e-6)
+    gc_on = jax.grad(lambda x: coord_loss(x, True))(g)
+    gc_off = jax.grad(lambda x: coord_loss(x, False))(g)
+    check_grad(gc_on, gc_off, "onepass_sigma_grad_coords_unperturbed")
+
+
+def test_predict_scale_fused_matches_unfused(rng, monkeypatch):
+    """predict_scale on the Pallas fast path (one-pass sigma_grad): the
+    full compute_loss value AND parameter gradients — including the scale
+    head's, which only receive signal through dsigma — match the unfused
+    XLA projector path."""
+    import tpu_unsup_pc.models.losses as L
+    from tpu_unsup_pc.models.model import DPCModel
+
+    cfg = presets.get("tiny").replace(
+        vox_size=16, image_size=16, point_chunk=SMALL_CHUNK,
+        use_pallas=True, source_views=1, num_views=2,
+        pc_num_points=SMALL_N, enc_channels=(4, 8), fc_dims=(32,),
+        latent_dim=32, predict_scale=True)
+    model = DPCModel(cfg=cfg)
+    B, V, H = 2, cfg.num_views, cfg.image_size
+    batch = {
+        "image": jnp.asarray(rng.uniform(size=(B, V, H, H, 3)),
+                             jnp.float32),
+        "mask": jnp.asarray(rng.uniform(size=(B, V, H, H)) > 0.5,
+                            jnp.float32),
+        "azimuth": jnp.asarray(rng.uniform(0, 6.28, size=(B, V)),
+                               jnp.float32),
+        "elevation": jnp.asarray(rng.uniform(-0.3, 0.9, size=(B, V)),
+                                 jnp.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["image"])["params"]
+
+    def loss_of(params, fused):
+        monkeypatch.setattr(L, "fused_render_available",
+                            lambda c, has_rgb: fused)
+        out = model.apply({"params": params}, batch["image"])
+        return L.compute_loss(cfg, out, batch, 1.2)[0]
+
+    check_fwd(float(loss_of(params, True)), float(loss_of(params, False)),
+              "scale_fused_loss_value")
+    gf = jax.grad(lambda p: loss_of(p, True))(params)
+    gu = jax.grad(lambda p: loss_of(p, False))(params)
+    if not _os.environ.get("TPU_TESTS"):
+        # strict A/B only in interpret mode: at these tiny decoder-init
+        # shapes the occupancy saturates (clip at 1-eps almost
+        # everywhere), so gradients flow only through clip-BOUNDARY
+        # cells whose (raw < 1-eps) mask is bit-sensitive — on-chip the
+        # two paths legitimately pick different boundary sets at
+        # production matmul precision. The on-chip numerical contract
+        # for dsigma is test_onepass_sigma_grad (well-spread points,
+        # ref_precision references).
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(gf),
+                jax.tree_util.tree_leaves_with_path(gu)):
+            check_grad(a, b,
+                       f"scale_fused_param_grad{jax.tree_util.keystr(ka)}")
+    for v in jax.tree_util.tree_leaves(gf):
+        assert bool(jnp.all(jnp.isfinite(v)))
+    # the scale head grads must be nonzero on BOTH paths (the fused one
+    # only gets them through the in-kernel sigma Jacobian)
+    flat = dict(jax.tree_util.tree_flatten_with_path(gf)[0])
+    scale_leaves = [v for k, v in flat.items() if "scale" in
+                    jax.tree_util.keystr(k).lower()]
+    assert scale_leaves, "no scale-head params found"
+    assert any(float(jnp.max(jnp.abs(v))) > 0 for v in scale_leaves)
+
+
 def test_onepass_rgb_mse_matches_twopass(rng):
     """One-pass RGB value+ct-weighted-gradient kernel == the two-kernel
     op under its contract loss sum(ct * sse), values and coord/color

@@ -103,10 +103,17 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
     points = output.cloud.points[:, :S]                     # (B,S,N,3)
     rgb = output.cloud.rgb[:, :S] if output.cloud.rgb is not None else None
     scale_metrics = {}
-    if output.cloud.scale is not None:
-        assert not cfg.use_pallas, (
-            "predict_scale routes sigma-gradients through the splat; the "
-            "Pallas kernel does not emit dsigma — use the XLA path")
+    sigma_grad = output.cloud.scale is not None
+    if sigma_grad:
+        # predict_scale routes sigma-gradients through the splat. On the
+        # Pallas path only the one-pass sil kernel emits dsigma
+        # (render_drc_mse_onepass(sigma_grad=True)); the RGB and banded
+        # kernels still give sigma a zero cotangent.
+        assert not cfg.use_pallas or (
+            rgb is None and cfg.pallas_onepass and cfg.pallas_band < 0), (
+            "predict_scale on the Pallas path needs the one-pass "
+            "silhouette kernel (pallas_onepass=True, pallas_band<0, "
+            "no RGB) — or use the XLA path")
         sigma_src = sigma * output.cloud.scale[:, :S]       # (B,S)
         scale_metrics = {"scale_mean": jnp.mean(output.cloud.scale),
                          "scale_std": jnp.std(output.cloud.scale)}
@@ -150,7 +157,8 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
             # fused render+MSE kernel: silhouettes never leave VMEM
             sse = render_sse_fused(points, cams.quat[:, :, None],
                                    cams.distance[:, :, None], sigma_src,
-                                   batch["mask"], cfg)[..., 0]  # (B,S,V)
+                                   batch["mask"], cfg,
+                                   sigma_grad=sigma_grad)[..., 0]  # (B,S,V)
             H = W = cfg.vox_size
             loss_sil = _wmean(sse / (H * W), pw)
             metrics = {"loss_sil": loss_sil, "loss": loss_sil,
@@ -205,7 +213,8 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
             mask_sum[:, None, :, None], 1.0)
     elif fuse_mse:
         sse = render_sse_fused(points, cand, dist, sigma_src,
-                               batch["mask"], cfg)           # (B,S,V,K)
+                               batch["mask"], cfg,
+                               sigma_grad=sigma_grad)        # (B,S,V,K)
         H = W = cfg.vox_size
         sil_pair = sse / (H * W)
     else:

@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_unsup_pc.ops.pallas.splat_kernel import (_axis_weight, _interpret,
-                                                  _log_norm, _pair_weight)
+                                                  _log_norm, _log_norm_ds,
+                                                  _pair_weight)
 
 _EPS = 1e-6
 
@@ -853,8 +854,16 @@ render_drc_mse_pallas_soa.defvjp(_mse_soa_vjp_fwd, _mse_soa_vjp_bwd)
 # ===================================================================
 
 def _mse_onepass_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, mask_ref,
-                            sse_ref, dgz_ref, dgy_ref, dgx_ref, acc_ref,
-                            cot_ref, *, D, HT, radius, chunk, bf16):
+                            sse_ref, dgz_ref, dgy_ref, dgx_ref, *rest,
+                            D, HT, radius, chunk, bf16, sigma_grad):
+    if sigma_grad:
+        # per-POINT dsse/dsigma contributions land in a fourth (1, 1, N)
+        # output — the same store pattern as the coordinate gradients
+        # (Mosaic rejects an in-loop cross-lane scalar reduction); the
+        # host sums over N for the per-pair Jacobian
+        dsig_ref, acc_ref, cot_ref = rest
+    else:
+        acc_ref, cot_ref = rest
     p = pl.program_id(0)
     ht = pl.program_id(1)
     sigma = sigma_ref[p, 0]
@@ -867,6 +876,8 @@ def _mse_onepass_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, mask_ref,
         dgz_ref[...] = jnp.zeros_like(dgz_ref)
         dgy_ref[...] = jnp.zeros_like(dgy_ref)
         dgx_ref[...] = jnp.zeros_like(dgx_ref)
+        if sigma_grad:
+            dsig_ref[...] = jnp.zeros_like(dsig_ref)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     _accumulate_soa(acc_ref, gz_ref, gy_ref, gx_ref, sigma, D, HT, radius,
@@ -903,29 +914,45 @@ def _mse_onepass_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, mask_ref,
         gx = gx_ref[0, 0, sl]
         gy = gy_full - h0
         p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
-        zz, dlzz = _log_norm(gz, inv2s2, radius)
-        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
-        zx, dlzx = _log_norm(gx, inv2s2, radius)
+        if sigma_grad:
+            zz, dlzz, dszz = _log_norm_ds(gz, inv2s2, radius)
+            zy, dlzy, dszy = _log_norm_ds(gy_full, inv2s2, radius)
+            zx, dlzx, dszx = _log_norm_ds(gx, inv2s2, radius)
+        else:
+            zz, dlzz = _log_norm(gz, inv2s2, radius)
+            zy, dlzy = _log_norm(gy_full, inv2s2, radius)
+            zx, dlzx = _log_norm(gx, inv2s2, radius)
         ww_raw, dxd = _axis_weight(gx, inv2s2, D)
         ww = ww_raw / (zz * zy * zx)[:, None]
         gout = cot_ref[...]
         d_ww = _dot(p_raw, gout, (((1,), (0,)), ((), ())), bf16)
         d_p = _dot(ww, gout, (((1,), (1,)), ((), ())), bf16)
         pd = d_p * p_raw
-        dwsum = jnp.sum(d_ww * ww, axis=1)
+        dww_w = d_ww * ww
+        dwsum = jnp.sum(dww_w, axis=1)
         dgz_ref[0, 0, sl] += (jnp.sum(pd * dzd, axis=1) * inv_s2) \
             - dlzz * dwsum
         dgy_ref[0, 0, sl] += (jnp.sum(pd * dyd, axis=1) * inv_s2) \
             - dlzy * dwsum
-        dgx_ref[0, 0, sl] += (jnp.sum(d_ww * ww * dxd, axis=1) * inv_s2) \
+        dgx_ref[0, 0, sl] += (jnp.sum(dww_w * dxd, axis=1) * inv_s2) \
             - dlzx * dwsum
+        if sigma_grad:
+            # dW/ds per (point, cell): W * [-(dz^2+dy^2) - dx^2
+            #   - dlogZ3/ds]; contracted against the cotangent grid the
+            # three sums below reuse pd / dww_w / dwsum (s = inv2s2),
+            # then chain s = 0.5/sigma^2 -> ds/dsigma = -1/sigma^3
+            ds_n = (-jnp.sum(pd * (dzd * dzd + dyd * dyd), axis=1)
+                    - jnp.sum(dww_w * (dxd * dxd), axis=1)
+                    - (dszz + dszy + dszx) * dwsum)
+            dsig_ref[0, 0, sl] += ds_n * (
+                -1.0 / (sigma * sigma * sigma))
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 def _run_mse_onepass_soa(gz, gy, gx, sigma, masks, S, V, K, D, radius,
-                         chunk, bf16):
+                         chunk, bf16, sigma_grad=False):
     P, N = gz.shape
     HT = _h_tile(D)
     chunk = _chunk_budget(D, HT, chunk, live=4,
@@ -936,9 +963,11 @@ def _run_mse_onepass_soa(gz, gy, gx, sigma, masks, S, V, K, D, radius,
     out_spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
                             memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((P, 1, N), jnp.float32)
-    sse, dgz, dgy, dgx = pl.pallas_call(
+    n_grads = 4 if sigma_grad else 3
+    outs = pl.pallas_call(
         functools.partial(_mse_onepass_kernel_soa, D=D, HT=HT,
-                          radius=radius, chunk=chunk, bf16=bf16),
+                          radius=radius, chunk=chunk, bf16=bf16,
+                          sigma_grad=sigma_grad),
         grid=(P, D // HT),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   coord_spec, coord_spec, coord_spec,
@@ -946,9 +975,9 @@ def _run_mse_onepass_soa(gz, gy, gx, sigma, masks, S, V, K, D, radius,
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((1, 1, 8, D), lambda p, h: (p, h, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   out_spec, out_spec, out_spec),
+                   *([out_spec] * n_grads)),
         out_shape=(jax.ShapeDtypeStruct((P, D // HT, 8, D), jnp.float32),
-                   shp, shp, shp),
+                   *([shp] * n_grads)),
         scratch_shapes=[pltpu.VMEM((D * HT, D), jnp.float32),
                         pltpu.VMEM((D * HT, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -956,43 +985,51 @@ def _run_mse_onepass_soa(gz, gy, gx, sigma, masks, S, V, K, D, radius,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(sigma.reshape(P, 1), gz, gy, gx, masks)
-    return (jnp.sum(sse, axis=(-3, -2, -1)),
+    sse, dgz, dgy, dgx = outs[:4]
+    jsig = jnp.sum(outs[4].reshape(P, N), axis=-1) if sigma_grad else None
+    return (jnp.sum(sse, axis=(-3, -2, -1)), jsig,
             dgz.reshape(P, N), dgy.reshape(P, N), dgx.reshape(P, N))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def render_drc_mse_onepass(gz, gy, gx, sigma, masks, pair_shape: tuple,
                            vox_size: int, radius: int = 13,
-                           chunk: int = 512,
-                           bf16: bool = False) -> jnp.ndarray:
+                           chunk: int = 512, bf16: bool = False,
+                           sigma_grad: bool = False) -> jnp.ndarray:
     """One-pass fused render + squared-error + Jacobian.
 
     Same contract and return value as render_drc_mse_pallas_soa, but
     value_and_grad runs ONE kernel (the rematerializing backward,
     extended to emit the SSE) instead of forward + backward. Use on
     training paths; value-only callers should prefer the two-kernel op
-    (this one always pays the gradient contractions)."""
+    (this one always pays the gradient contractions).
+
+    sigma_grad=True additionally emits the per-pair sigma Jacobian
+    in-kernel (the predict_scale fast path): sigma then receives the
+    exact analytic cotangent instead of zeros. Default off — the extra
+    VPU terms in the chunk loop are only paid when requested."""
     B, S, V, K = pair_shape
-    sse, _, _, _ = _run_mse_onepass_soa(gz, gy, gx, sigma, masks, S, V, K,
-                                        vox_size, radius, chunk, bf16)
+    sse, _, _, _, _ = _run_mse_onepass_soa(gz, gy, gx, sigma, masks, S, V,
+                                           K, vox_size, radius, chunk,
+                                           bf16, sigma_grad)
     return sse
 
 
 def _mse_onepass_vjp_fwd(gz, gy, gx, sigma, masks, pair_shape, vox_size,
-                         radius, chunk, bf16):
+                         radius, chunk, bf16, sigma_grad):
     B, S, V, K = pair_shape
-    sse, jz, jy, jx = _run_mse_onepass_soa(gz, gy, gx, sigma, masks, S, V,
-                                           K, vox_size, radius, chunk,
-                                           bf16)
-    return sse, (jz, jy, jx, sigma, masks)
+    sse, jsig, jz, jy, jx = _run_mse_onepass_soa(
+        gz, gy, gx, sigma, masks, S, V, K, vox_size, radius, chunk, bf16,
+        sigma_grad)
+    return sse, (jz, jy, jx, jsig, sigma, masks)
 
 
-def _mse_onepass_vjp_bwd(pair_shape, vox_size, radius, chunk, bf16, res,
-                         gsse):
-    jz, jy, jx, sigma, masks = res
+def _mse_onepass_vjp_bwd(pair_shape, vox_size, radius, chunk, bf16,
+                         sigma_grad, res, gsse):
+    jz, jy, jx, jsig, sigma, masks = res
     g = gsse[:, None]
-    return (g * jz, g * jy, g * jx, jnp.zeros_like(sigma),
-            jnp.zeros_like(masks))
+    dsig = gsse * jsig if sigma_grad else jnp.zeros_like(sigma)
+    return (g * jz, g * jy, g * jx, dsig, jnp.zeros_like(masks))
 
 
 render_drc_mse_onepass.defvjp(_mse_onepass_vjp_fwd, _mse_onepass_vjp_bwd)

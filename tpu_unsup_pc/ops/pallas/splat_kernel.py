@@ -25,8 +25,10 @@ Kernel strategy (one pallas_call for the whole batch — no vmap of kernels):
 Backward mirrors the contraction (two matmuls + row reductions per chunk),
 computing dL/d(grid_coords) analytically — including the normalizer's
 dependence on the coordinate — and is registered as a custom VJP. Gradient
-w.r.t. sigma is NOT produced (only the predict_scale variant needs it;
-asserted at the call site).
+w.r.t. sigma is NOT produced here (the predict_scale fast path lives in
+the one-pass render kernel's opt-in sigma Jacobian —
+render_kernel.render_drc_mse_onepass(sigma_grad=True); asserted at the
+loss call site).
 
 Per-pair sigma is a (P, 1) float32 operand in SMEM, so annealed and
 per-cloud-scaled sigmas both work under one compile.
@@ -60,6 +62,22 @@ def _log_norm(gc, inv2s2, radius):
     z = jnp.sum(e, axis=-1)
     dz = jnp.sum(e * (-2.0 * inv2s2 * (r[:, None] - k)), axis=-1)
     return z, dz / z
+
+
+def _log_norm_ds(gc, inv2s2, radius):
+    """_log_norm plus dlogZ/d(inv2s2), for the opt-in sigma gradient of
+    the one-pass render kernel (render_drc_mse_onepass(sigma_grad=True)).
+    Z = sum_k exp(-(r-k)^2 s) => dlogZ/ds = -sum_k (r-k)^2 e_k / Z."""
+    r = gc - jnp.floor(gc)
+    k = jax.lax.broadcasted_iota(
+        jnp.int32, (gc.shape[0], 2 * radius + 2), 1
+    ).astype(jnp.float32) - radius
+    d2 = (r[:, None] - k) ** 2
+    e = jnp.exp(-d2 * inv2s2)
+    z = jnp.sum(e, axis=-1)
+    dg = jnp.sum(e * (-2.0 * inv2s2 * (r[:, None] - k)), axis=-1)
+    ds = jnp.sum(-d2 * e, axis=-1)
+    return z, dg / z, ds / z
 
 
 def _pair_weight(gz, gy, inv2s2, D, H):

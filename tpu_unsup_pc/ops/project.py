@@ -160,7 +160,8 @@ def render_silhouettes_fused(points: jnp.ndarray, cams: Camera, sigma,
 
 def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
                      dists: jnp.ndarray, sigma: jnp.ndarray,
-                     masks: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+                     masks: jnp.ndarray, cfg: Config,
+                     sigma_grad: bool = False) -> jnp.ndarray:
     """Fused render + silhouette squared error for every (source, target
     [, candidate]) pair — the training fast path when RGB is off.
 
@@ -211,8 +212,13 @@ def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
     if cfg.pallas_onepass and not band:
         sse = render_drc_mse_onepass(gz, gy, gx, sigma_k, masks_c,
                                      (B, S, V, K), D, radius,
-                                     cfg.point_chunk, cfg.pallas_bf16)
+                                     cfg.point_chunk, cfg.pallas_bf16,
+                                     sigma_grad)
     else:
+        assert not sigma_grad, (
+            "sigma_grad (predict_scale fast path) requires the one-pass "
+            "kernel: set pallas_onepass=True and pallas_band<0, or use "
+            "the XLA path")
         sse = render_drc_mse_auto(gz, gy, gx, sigma_k, masks_c,
                                   (B, S, V, K), D, radius,
                                   cfg.point_chunk, cfg.pallas_bf16,
