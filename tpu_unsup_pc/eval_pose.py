@@ -76,17 +76,26 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pred", default="preds.npz",
                    help="npz from predict --all-views (pred_pose + gt az/el)")
+    p.add_argument("--key", default="pred_pose",
+                   help="which pose array to score: pred_pose (raw "
+                        "student), pred_pose_refined (test-time refined, "
+                        "min-SSE init) or pred_pose_refined_student — the "
+                        "refined arrays exist when predict ran with "
+                        "--refine-steps")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
     with np.load(args.pred) as z:
-        if "pred_pose" not in z:
-            raise SystemExit("no pred_pose in file — run predict with a "
-                             "predict_pose preset and --all-views")
-        if z["pred_pose"].ndim != 3:
-            raise SystemExit("pred_pose must be (M, V, 4) — rerun predict "
-                             "with --all-views")
-        stats = evaluate_pose(z["pred_pose"], z["gt_azimuth"],
+        if args.key not in z:
+            raise SystemExit(f"no {args.key} in file — run predict with a "
+                             "predict_pose preset and --all-views" +
+                             ("" if args.key == "pred_pose" else
+                              " and --refine-steps"))
+        if z[args.key].ndim != 3:
+            raise SystemExit(f"{args.key} must be (M, V, 4) — rerun "
+                             "predict with --all-views")
+        stats = evaluate_pose(z[args.key], z["gt_azimuth"],
                               z["gt_elevation"])
+        stats["pose_key"] = args.key
     line = json.dumps(stats)
     print(line)
     if args.out:

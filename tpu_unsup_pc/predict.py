@@ -38,6 +38,24 @@ def parse_args(argv=None):
     p.add_argument("--mesh", type=int, default=None,
                    help="shard prediction batches over an N-device mesh "
                         "(BASELINE config 5)")
+    p.add_argument("--refine-steps", type=int, default=0,
+                   help="test-time pose refinement: gradient steps per "
+                        "view against its own mask through the renderer "
+                        "(unknown-pose presets only; adds pred_pose_refined"
+                        "/_refined_student arrays — see refine.py)")
+    p.add_argument("--refine-lr", type=float, default=0.03)
+    p.add_argument("--refine-sigma", type=float, default=None,
+                   help="render sigma during refinement "
+                        "(default: cfg.sigma_end)")
+    p.add_argument("--refine-sigma-end", type=float, default=None,
+                   help="anneal refinement sigma linearly to this value "
+                        "(default: constant at --refine-sigma)")
+    p.add_argument("--refine-mode", default="cross",
+                   choices=("cross", "self"),
+                   help="evidence for refinement/selection: cross = other "
+                        "views' clouds into this view's mask (detects "
+                        "symmetry flips; needs --all-views), self = own "
+                        "cloud only")
     p.add_argument("--params-npz", default=None,
                    help="load params from a tools/export_params.py .npz "
                         "instead of an orbax checkpoint (the durable "
@@ -93,10 +111,12 @@ def main(argv=None):
 
     n = min(args.num_models, len(dataset))
     preds, poses, rgbs, azs, els = [], [], [], [], []
+    ref_best, ref_student = [], []
     for i in range(0, n, args.batch_size):
         idx = np.arange(i, min(i + args.batch_size, n))
         batch = dataset.get_batch(idx)
         images = batch["image"] if args.all_views else batch["image"][:, 0]
+        masks = batch["mask"] if args.all_views else batch["mask"][:, 0]
         if step_fn is not None:
             # pad the tail batch to the full (mesh-divisible) size, trim
             # the outputs back after
@@ -116,6 +136,15 @@ def main(argv=None):
             poses.append(np.asarray(out.pose.student))
             azs.append(batch["azimuth"])
             els.append(batch["elevation"])
+            if args.refine_steps > 0:
+                from tpu_unsup_pc.refine import refine_output_poses
+                ref = refine_output_poses(
+                    cfg, out, jnp.asarray(masks), steps=args.refine_steps,
+                    lr=args.refine_lr, sigma=args.refine_sigma,
+                    sigma_end=args.refine_sigma_end,
+                    mode=args.refine_mode if args.all_views else "self")
+                ref_best.append(np.asarray(ref["refined_best"]))
+                ref_student.append(np.asarray(ref["refined_student"]))
     arrays = {"pred_points": np.concatenate(preds)}
     if rgbs:
         arrays["pred_rgb"] = np.concatenate(rgbs)
@@ -123,6 +152,9 @@ def main(argv=None):
         arrays["pred_pose"] = np.concatenate(poses)
         arrays["gt_azimuth"] = np.concatenate(azs)
         arrays["gt_elevation"] = np.concatenate(els)
+    if ref_best:
+        arrays["pred_pose_refined"] = np.concatenate(ref_best)
+        arrays["pred_pose_refined_student"] = np.concatenate(ref_student)
     if hasattr(dataset, "gt_points"):
         arrays["gt_points"] = dataset.gt_points[:n]
     np.savez_compressed(args.out, **arrays)
