@@ -143,6 +143,21 @@ def test_refine_cross_multisource(rng):
     assert np.all(best == 1), (best, np.asarray(sse))
 
 
+def test_api_refine_poses(rng):
+    """api.refine_poses is the notebook-surface wrapper over
+    refine_output_poses — same shapes, same defaults."""
+    from tpu_unsup_pc import api
+    cfg = CFG.replace(predict_pose=True, pose_candidates=2)
+    state = training.init_state(cfg, jax.random.PRNGKey(0))
+    M, V, H = 1, cfg.num_views, cfg.image_size
+    images = jnp.asarray(rng.uniform(size=(M, V, H, H, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(size=(M, V, H, H)) > 0.6, jnp.float32)
+    out = api.encode(cfg, state, images)
+    ref = api.refine_poses(cfg, out, masks, steps=2)
+    assert ref["refined_best"].shape == (M, V, 4)
+    assert ref["refined_sse"].shape == (M, V, cfg.pose_candidates + 1)
+
+
 def test_refine_fused_path_interpret(rng):
     """The fused render+SSE kernel path (interpret mode on CPU) descends:
     pose gradients flow through the one-pass kernel's coordinate
