@@ -62,3 +62,41 @@ def test_max_to_keep(tmp_path, rng):
     mgr.wait()
     assert mgr.latest_step() == 4
     mgr.close()
+
+
+def test_partial_params_npz_load(tmp_path, rng):
+    """partial=True fills params present in the npz and leaves a GROWN
+    head (absent from the export) at fresh init; a shrunk model (npz has
+    keys the model lacks) fails loudly."""
+    import pytest
+
+    from tpu_unsup_pc.utils.checkpoint import (flatten_params,
+                                               load_params_npz,
+                                               save_params_npz)
+
+    cfg_pose = CFG.replace(predict_pose=True, pose_candidates=2)
+    state = training.init_state(cfg_pose)
+    path = str(tmp_path / "pose.npz")
+    save_params_npz(state, path)
+
+    cfg_grown = cfg_pose.replace(predict_translation=True)
+    grown, step = load_params_npz(cfg_grown, path, partial=True)
+    flat_src = flatten_params(state.params)
+    flat_new = flatten_params(grown.params)
+    extra = set(flat_new) - set(flat_src)
+    assert extra and all("translation_head" in k for k in extra)
+    for k, v in flat_src.items():
+        np.testing.assert_array_equal(v, flat_new[k])
+
+    # a fully-matching npz loads identically under both modes
+    full_a, _ = load_params_npz(cfg_pose, path)
+    full_b, _ = load_params_npz(cfg_pose, path, partial=True)
+    for a, b in zip(jax.tree_util.tree_leaves(full_a.params),
+                    jax.tree_util.tree_leaves(full_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # npz exported from the BIGGER model must not silently load into a
+    # model that lacks those heads
+    save_params_npz(training.init_state(cfg_grown), path)
+    with pytest.raises(ValueError, match="lacks"):
+        load_params_npz(cfg_pose, path, partial=True)

@@ -47,6 +47,36 @@ def test_synthetic_shape_sets():
     assert 0.02 < ds.masks.mean() < 0.8
 
 
+def test_synthetic_distance_jitter():
+    """synth_dist_jitter > 0: batches carry per-view camera distances, the
+    renders actually use them (closer camera => larger silhouette via
+    perspective magnification), and jitter 0 keeps the legacy schema."""
+    import jax.numpy as jnp
+
+    from tpu_unsup_pc.data.synthetic import _render_views
+
+    cfg = CFG.replace(synth_dist_jitter=0.1)
+    ds = SyntheticShapes(cfg, num_models=4)
+    b = ds.sample_batch(2)
+    assert b["distance"].shape == (2, cfg.num_views)
+    d0 = cfg.camera_distance
+    assert ds.distance.min() >= d0 * 0.9 - 1e-5
+    assert ds.distance.max() <= d0 * 1.1 + 1e-5
+    assert ds.distance.std() > 0.01 * d0
+    assert "distance" not in SyntheticShapes(CFG, num_models=2).sample_batch(1)
+    # same model + pose, near vs far camera: the near render must cover
+    # meaningfully more pixels
+    pts = jnp.asarray(ds.gt_points[:1])
+    rgb = jnp.asarray(ds.gt_rgb[:1])
+    az = jnp.asarray(ds.azimuth[:1])
+    el = jnp.asarray(ds.elevation[:1])
+    m_near, _ = _render_views(CFG, pts, rgb, az, el,
+                              jnp.full(az.shape, d0 * 0.85))
+    m_far, _ = _render_views(CFG, pts, rgb, az, el,
+                             jnp.full(az.shape, d0 * 1.15))
+    assert float(m_near.sum()) > float(m_far.sum()) * 1.15
+
+
 def test_synthetic_deterministic():
     a = SyntheticShapes(CFG, num_models=4, seed=7)
     b = SyntheticShapes(CFG, num_models=4, seed=7)

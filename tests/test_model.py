@@ -63,6 +63,45 @@ def test_forward_rgb_pose_scale(rng):
     assert out.pose.student.shape == (B, V, 4)
 
 
+def test_translation_head_shapes_and_grads(rng):
+    """predict_translation: per-candidate distance offsets inside the
+    +-0.5 tanh rails, consumed by the pose pair loss (gradients reach the
+    head through the renderer's camera-distance Jacobian)."""
+    cfg = CFG.replace(predict_pose=True, predict_translation=True,
+                      pose_candidates=3)
+    model = DPCModel(cfg=cfg)
+    batch = _dummy_batch(cfg, rng)
+    params = model.init(jax.random.PRNGKey(0), batch["image"])["params"]
+    out = model.apply({"params": params}, batch["image"])
+    B, V = 2, cfg.num_views
+    assert out.pose.trans_offset.shape == (B, V, 3)
+    assert np.abs(np.asarray(out.pose.trans_offset)).max() <= 0.5
+
+    def loss_fn(p):
+        o = model.apply({"params": p}, batch["image"])
+        return compute_loss(cfg, o, batch, 1.0)[0]
+
+    g = jax.grad(loss_fn)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(v)))
+                for v in jax.tree_util.tree_leaves(
+                    g["pose_head"]["translation_head"]))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_gt_cameras_use_batch_distance(rng):
+    """Known-pose cameras pick up the dataset's per-view distances
+    (synth_dist_jitter) and fall back to the configured constant."""
+    from tpu_unsup_pc.models.losses import _gt_cameras
+    batch = _dummy_batch(CFG, rng)
+    cams = _gt_cameras(CFG, batch)
+    np.testing.assert_allclose(np.asarray(cams.distance),
+                               CFG.camera_distance)
+    d = rng.uniform(1.8, 2.2, size=batch["azimuth"].shape
+                    ).astype(np.float32)
+    cams_j = _gt_cameras(CFG, {**batch, "distance": d})
+    np.testing.assert_array_equal(np.asarray(cams_j.distance), d)
+
+
 def test_candidate_anchors_are_diverse(rng):
     cfg = CFG.replace(predict_pose=True, pose_candidates=4)
     model = DPCModel(cfg=cfg)

@@ -134,24 +134,25 @@ def _make_cloud(rng, n, shape_set="classic"):
 
 # --------------------------------------------------------------- renderer
 @functools.partial(jax.jit, static_argnames=("cfg", "render_sigma"))
-def _render_views(cfg: Config, points, rgb, azimuth, elevation,
+def _render_views(cfg: Config, points, rgb, azimuth, elevation, distance,
                   render_sigma: float = 0.7):
-    """(M,N,3) clouds + (M,V) poses -> masks (M,V,H,W), images (M,V,H,W,3).
-    Binary-ish masks by thresholding the fine-sigma silhouette."""
+    """(M,N,3) clouds + (M,V) poses + (M,V) camera distances -> masks
+    (M,V,H,W), images (M,V,H,W,3). Binary-ish masks by thresholding the
+    fine-sigma silhouette."""
     render_cfg = cfg.replace(splat_mode="gauss", proj_mode="drc",
                              vox_size=max(cfg.vox_size, cfg.image_size))
 
-    def one(pts, col, az, el):
-        cam = make_camera(az, el, cfg.camera_distance, cfg.focal_length)
+    def one(pts, col, az, el, dist):
+        cam = make_camera(az, el, dist, cfg.focal_length)
         out = project_pointcloud(pts, cam, render_sigma, render_cfg, rgb=col)
         mask = (out.silhouette > 0.4).astype(jnp.float32)
         img = (out.rgb_image * out.silhouette[..., None]
                + (1.0 - out.silhouette[..., None]))    # white background
         return mask, img
 
-    per_view = jax.vmap(one, in_axes=(None, None, 0, 0))
-    per_model = jax.vmap(per_view, in_axes=(0, 0, 0, 0))
-    return per_model(points, rgb, azimuth, elevation)
+    per_view = jax.vmap(one, in_axes=(None, None, 0, 0, 0))
+    per_model = jax.vmap(per_view, in_axes=(0, 0, 0, 0, 0))
+    return per_model(points, rgb, azimuth, elevation, distance)
 
 
 class SyntheticShapes:
@@ -178,13 +179,22 @@ class SyntheticShapes:
                                    size=(num_models, V)).astype(np.float32)
         self.elevation = rng.uniform(-0.35, 0.9,
                                      size=(num_models, V)).astype(np.float32)
+        # per-(model, view) camera distance; varies only when
+        # cfg.synth_dist_jitter > 0 (then batches carry a "distance" key
+        # and predict_translation has signal to learn — utils/config.py)
+        j = cfg.synth_dist_jitter
+        self.distance = (cfg.camera_distance
+                         * rng.uniform(1.0 - j, 1.0 + j, size=(num_models, V))
+                         ).astype(np.float32)
+        self.has_distance = j > 0
         masks, images = [], []
         for i in range(0, num_models, render_chunk):
             sl = slice(i, i + render_chunk)
             m, im = _render_views(cfg, jnp.asarray(self.gt_points[sl]),
                                   jnp.asarray(self.gt_rgb[sl]),
                                   jnp.asarray(self.azimuth[sl]),
-                                  jnp.asarray(self.elevation[sl]))
+                                  jnp.asarray(self.elevation[sl]),
+                                  jnp.asarray(self.distance[sl]))
             masks.append(np.asarray(m))
             images.append(np.asarray(im))
         self.masks = np.concatenate(masks)                 # (M,V,H,W)
@@ -200,9 +210,12 @@ class SyntheticShapes:
         return self.get_batch(idx)
 
     def get_batch(self, idx) -> Dict:
-        return {"image": self.images[idx], "mask": self.masks[idx],
-                "azimuth": self.azimuth[idx],
-                "elevation": self.elevation[idx]}
+        batch = {"image": self.images[idx], "mask": self.masks[idx],
+                 "azimuth": self.azimuth[idx],
+                 "elevation": self.elevation[idx]}
+        if self.has_distance:
+            batch["distance"] = self.distance[idx]
+        return batch
 
     def batches(self, steps: int,
                 batch_size: int | None = None) -> Iterator[Dict]:

@@ -34,12 +34,17 @@ from tpu_unsup_pc.utils.config import Config
 
 
 def _gt_cameras(cfg: Config, batch: dict) -> Camera:
-    """Ground-truth cameras from the batch's azimuth/elevation (B, V)."""
+    """Ground-truth cameras from the batch's azimuth/elevation (B, V).
+    Per-view camera distances ride along when the dataset provides them
+    (synth_dist_jitter > 0); otherwise the configured constant."""
     q = quat_from_euler(batch["azimuth"], batch["elevation"])
     shape = batch["azimuth"].shape
+    dist = batch.get("distance")
+    if dist is None:
+        dist = jnp.full(shape, cfg.camera_distance, jnp.float32)
     return Camera(
         quat=q,
-        distance=jnp.full(shape, cfg.camera_distance, jnp.float32),
+        distance=jnp.asarray(dist, jnp.float32),
         focal=jnp.full(shape, cfg.focal_length, jnp.float32))
 
 

@@ -111,6 +111,7 @@ def main(argv=None):
 
     n = min(args.num_models, len(dataset))
     preds, poses, rgbs, azs, els = [], [], [], [], []
+    dists, offs = [], []
     ref_best, ref_student = [], []
     for i in range(0, n, args.batch_size):
         idx = np.arange(i, min(i + args.batch_size, n))
@@ -136,6 +137,10 @@ def main(argv=None):
             poses.append(np.asarray(out.pose.student))
             azs.append(batch["azimuth"])
             els.append(batch["elevation"])
+            if "distance" in batch:
+                dists.append(batch["distance"])
+            if out.pose.trans_offset is not None:
+                offs.append(np.asarray(out.pose.trans_offset))
             if args.refine_steps > 0:
                 from tpu_unsup_pc.refine import refine_output_poses
                 ref = refine_output_poses(
@@ -152,6 +157,12 @@ def main(argv=None):
         arrays["pred_pose"] = np.concatenate(poses)
         arrays["gt_azimuth"] = np.concatenate(azs)
         arrays["gt_elevation"] = np.concatenate(els)
+        if dists:
+            arrays["gt_distance"] = np.concatenate(dists)
+        if offs:
+            # per-candidate distance offsets (B, V, K): head selection is
+            # evidence-based — see tools/trans_probe.py
+            arrays["pred_trans_offset"] = np.concatenate(offs)
     if ref_best:
         arrays["pred_pose_refined"] = np.concatenate(ref_best)
         arrays["pred_pose_refined_student"] = np.concatenate(ref_student)

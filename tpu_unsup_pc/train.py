@@ -47,6 +47,11 @@ def parse_args(argv=None):
     p.add_argument("--num-models", type=int, default=256,
                    help="synthetic dataset size")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--init-partial", action="store_true",
+                   help="with --init-params-npz: load params by name and "
+                        "leave params absent from the npz at fresh init "
+                        "(warm-start a model that grew a head, e.g. "
+                        "predict_translation on pose-phase params)")
     p.add_argument("--init-params-npz", default=None,
                    help="warm-start fine-tune: initialize params from a "
                         "save_params_npz export (fresh optimizer state, "
@@ -155,7 +160,8 @@ def main(argv=None):
         print(f"resumed from step {start}")
     elif args.init_params_npz is not None:
         from tpu_unsup_pc.utils.checkpoint import load_params_npz
-        state, src_step = load_params_npz(cfg, args.init_params_npz)
+        state, src_step = load_params_npz(cfg, args.init_params_npz,
+                                          partial=args.init_partial)
         state, start = state.replace(step=0), 0
         print(f"warm-started params from {args.init_params_npz} "
               f"(exported at step {src_step}); fresh optimizer, step 0")
@@ -238,9 +244,12 @@ def main(argv=None):
     if device_data:
         import functools
 
-        data_dev = jax.device_put({
+        host_data = {
             "image": dataset.images, "mask": dataset.masks,
-            "azimuth": dataset.azimuth, "elevation": dataset.elevation})
+            "azimuth": dataset.azimuth, "elevation": dataset.elevation}
+        if getattr(dataset, "has_distance", False):
+            host_data["distance"] = dataset.distance
+        data_dev = jax.device_put(host_data)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _device_step(data, state, idx):

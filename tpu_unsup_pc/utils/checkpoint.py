@@ -48,12 +48,18 @@ def save_params_npz(state: training.TrainState, path: str) -> None:
                         **flatten_params(state.params))
 
 
-def load_params_npz(cfg: Config, path: str,
+def load_params_npz(cfg: Config, path: str, partial: bool = False,
                     ) -> Tuple[training.TrainState, int]:
     """TrainState with params from a save_params_npz/export_params.py
     export (f16 arrays are upcast; optimizer state is FRESH). Returns
     (state, exported_step). Used by predict.py --params-npz and
-    train.py --init-params-npz (warm-start fine-tune)."""
+    train.py --init-params-npz (warm-start fine-tune).
+
+    partial=True loads by flat path and leaves params absent from the npz
+    at their fresh init — the warm-start path for fine-tuning a model
+    that GREW a head (e.g. phase-N pose params + a new translation head).
+    npz keys that don't exist in the model, or shape mismatches, still
+    fail loudly; a fully-matching npz loads identically to partial=False."""
     import numpy as np
     import jax.numpy as jnp
     with np.load(path) as z:
@@ -68,6 +74,32 @@ def load_params_npz(cfg: Config, path: str,
             node = node.setdefault(p_, {})
         node[parts[-1]] = jnp.asarray(v)
     state = training.init_state(cfg)
+    if partial:
+        ref_flat = flatten_params(state.params)
+        extra = sorted(set(flat) - set(ref_flat))
+        if extra:
+            raise ValueError(
+                f"params in {path} have keys the config's model lacks: "
+                f"{extra}")
+        bad = [k for k in flat if flat[k].shape != ref_flat[k].shape]
+        if bad:
+            raise ValueError(
+                f"shape mismatch loading {path}: "
+                + ", ".join(f"{k} {flat[k].shape} vs "
+                            f"{ref_flat[k].shape}" for k in sorted(bad)))
+        missing = sorted(set(ref_flat) - set(flat))
+        if missing:
+            print(f"partial warm start: {len(missing)} fresh-init params "
+                  f"not in {path}: {missing}")
+
+        def merge(ref_node, got_node):
+            if not isinstance(ref_node, dict):
+                return ref_node if got_node is None else got_node
+            return {k: merge(v, (got_node or {}).get(k))
+                    for k, v in ref_node.items()}
+
+        params = merge(state.params, tree)
+        return state.replace(params=params, step=step), step
     ref = jax.tree_util.tree_structure(state.params)
     got = jax.tree_util.tree_structure(tree)
     if got != ref:

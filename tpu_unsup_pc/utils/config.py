@@ -30,6 +30,13 @@ class Config:
     # all 180deg-rotationally symmetric), "asym" (silhouette-identifiable
     # pose — required for the unknown-pose configs), "all" (union)
     synth_shapes: str = "classic"
+    # fractional per-(model, view) camera-distance jitter: views are
+    # rendered at distance ~ U(camera_distance*(1-j), camera_distance*(1+j))
+    # and batches carry a "distance" (B, V) field. 0 = fixed distance
+    # (legacy schema, no "distance" key). This is the data axis that makes
+    # predict_translation learnable: with fixed distance the offset head's
+    # optimum is identically zero.
+    synth_dist_jitter: float = 0.0
 
     # ---- model (SURVEY §2: encoder / decoder / pose head) ----
     pc_num_points: int = 2000      # N: 2000 or 8000
@@ -167,6 +174,12 @@ class Config:
             f"point_chunk={self.point_chunk} must be a power of two >= 8")
         assert self.splat_mode in ("gauss", "trilinear_blur"), self.splat_mode
         assert self.synth_shapes in ("classic", "asym", "all")
+        # the frustum depth slab is centered on each camera's OWN distance
+        # (ops/camera.py: w = (z - distance)/depth_extent), so jitter only
+        # changes perspective magnification — but it must stay inside the
+        # translation head's +-0.5 offset rails and keep silhouettes from
+        # overflowing the image plane at close range
+        assert 0.0 <= self.synth_dist_jitter <= 0.2, self.synth_dist_jitter
         if self.exclude_self_view:
             assert self.num_views > 1, (
                 "exclude_self_view needs at least one non-self target view")
