@@ -145,7 +145,7 @@ def _fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, sil_ref, acc_ref,
                     *, D, HT, radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     acc_ref[...] = jnp.zeros_like(acc_ref)
     _accumulate_soa(acc_ref, gz_ref, gy_ref, gx_ref, sigma, D, HT, radius,
                     chunk, (ht * HT).astype(jnp.float32), bf16)
@@ -182,7 +182,7 @@ def _run_fwd_soa(gz, gy, gx, sigma, D, radius, chunk, bf16):
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), gz, gy, gx)
+    )(sigma.reshape(1, P), gz, gy, gx)
     return sil
 
 
@@ -191,7 +191,7 @@ def _bwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, gsil_ref,
                     D, HT, radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     inv2s2 = 0.5 / (sigma * sigma)
     inv_s2 = 2.0 * inv2s2
     h0 = (ht * HT).astype(jnp.float32)
@@ -280,7 +280,7 @@ def _run_bwd_soa(gz, gy, gx, sigma, gsil, D, radius, chunk, bf16):
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), gz, gy, gx, gsil)
+    )(sigma.reshape(1, P), gz, gy, gx, gsil)
     return (dgz.reshape(P, N), dgy.reshape(P, N), dgx.reshape(P, N))
 
 
@@ -370,7 +370,7 @@ def _rgb_fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
                         g_s, b_s, *, D, HT, radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     packed_s[...] = jnp.zeros_like(packed_s)
     _accumulate_rgb_packed(packed_s, gz_ref, gy_ref, gx_ref, cr_ref,
                            cg_ref, cb_ref, sigma, D, HT, radius, chunk,
@@ -425,7 +425,7 @@ def _run_rgb_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, D, radius, chunk,
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), *ops)
+    )(sigma.reshape(1, P), *ops)
     return sil, img
 
 
@@ -522,7 +522,7 @@ def _rgb_bwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
                         chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     inv2s2 = 0.5 / (sigma * sigma)
     h0 = (ht * HT).astype(jnp.float32)
 
@@ -580,7 +580,7 @@ def _run_rgb_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, gsil, gimg, D, radius,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), *ops, gsil, gimg)
+    )(sigma.reshape(1, P), *ops, gsil, gimg)
     return tuple(o.reshape(P, N) for o in outs)
 
 
@@ -639,7 +639,7 @@ def _mse_fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, mask_ref,
                         sse_ref, acc_ref, *, D, HT, radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     acc_ref[...] = jnp.zeros_like(acc_ref)
     _accumulate_soa(acc_ref, gz_ref, gy_ref, gx_ref, sigma, D, HT, radius,
                     chunk, (ht * HT).astype(jnp.float32), bf16)
@@ -686,7 +686,7 @@ def _run_mse_fwd_soa(gz, gy, gx, sigma, masks, S, V, K, D, radius, chunk,
             bytes_accessed=P * (N * 12 + D * D * 4),
             transcendentals=P * N * (D * D + D)),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), gz, gy, gx, masks)
+    )(sigma.reshape(1, P), gz, gy, gx, masks)
     return jnp.sum(sse, axis=(-3, -2, -1))               # (P,) SSE
 
 
@@ -695,7 +695,7 @@ def _mse_bwd_kernel_soa(sigma_ref, gsse_ref, gz_ref, gy_ref, gx_ref,
                         cot_ref, *, D, HT, radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     inv2s2 = 0.5 / (sigma * sigma)
     inv_s2 = 2.0 * inv2s2
     h0 = (ht * HT).astype(jnp.float32)
@@ -717,7 +717,7 @@ def _mse_bwd_kernel_soa(sigma_ref, gsse_ref, gz_ref, gy_ref, gx_ref,
     trans = jax.lax.fori_loop(0, D, collapse,
                               jnp.ones((HT, D), jnp.float32))
     # in-kernel MSE seed: d sse / d sil = 2 * (sil - mask)
-    gsil = gsse_ref[p, 0] * 2.0 * ((1.0 - trans) - mask_ref[0])
+    gsil = gsse_ref[0, p] * 2.0 * ((1.0 - trans) - mask_ref[0])
     gt = gsil * trans
 
     def fill_cot(d, _):
@@ -788,7 +788,7 @@ def _run_mse_bwd_soa(gz, gy, gx, sigma, masks, gsse, S, V, K, D, radius,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), gsse.reshape(P, 1), gz, gy, gx, masks)
+    )(sigma.reshape(1, P), gsse.reshape(1, P), gz, gy, gx, masks)
     return (dgz.reshape(P, N), dgy.reshape(P, N), dgx.reshape(P, N))
 
 
@@ -866,7 +866,7 @@ def _mse_onepass_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, mask_ref,
         acc_ref, cot_ref = rest
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     inv2s2 = 0.5 / (sigma * sigma)
     inv_s2 = 2.0 * inv2s2
     h0 = (ht * HT).astype(jnp.float32)
@@ -984,7 +984,7 @@ def _run_mse_onepass_soa(gz, gy, gx, sigma, masks, S, V, K, D, radius,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), gz, gy, gx, masks)
+    )(sigma.reshape(1, P), gz, gy, gx, masks)
     sse, dgz, dgy, dgx = outs[:4]
     jsig = jnp.sum(outs[4].reshape(P, N), axis=-1) if sigma_grad else None
     return (jnp.sum(sse, axis=(-3, -2, -1)), jsig,
@@ -1100,7 +1100,7 @@ def _accumulate_banded(acc_ref, d0_ref, gz_ref, gy_ref, gx_ref, sigma, D,
 
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
-        d0 = d0_ref[p, c]
+        d0 = d0_ref[c, p]
         gz = gz_ref[0, 0, sl] - d0.astype(jnp.float32)
         gy = gy_ref[0, 0, sl] - h0
         gx = gx_ref[0, 0, sl]
@@ -1122,7 +1122,7 @@ def _mse_fwd_kernel_banded(sigma_ref, d0_ref, gz_ref, gy_ref, gx_ref,
                            radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     acc_ref[...] = jnp.zeros_like(acc_ref)
     _accumulate_banded(acc_ref, d0_ref, gz_ref, gy_ref, gx_ref, sigma, D,
                        DB, HT, radius, chunk,
@@ -1170,7 +1170,7 @@ def _run_mse_fwd_banded(gz, gy, gx, sigma, masks, S, V, K, D, DB, radius,
             bytes_accessed=P * (N * 12 + D * D * 4),
             transcendentals=P * N * (DB * D + D)),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), d0, gz, gy, gx, masks)
+    )(sigma.reshape(1, P), d0.T, gz, gy, gx, masks)
     return jnp.sum(sse, axis=(-3, -2, -1))
 
 
@@ -1180,7 +1180,7 @@ def _mse_bwd_kernel_banded(sigma_ref, gsse_ref, d0_ref, gz_ref, gy_ref,
                            bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     inv2s2 = 0.5 / (sigma * sigma)
     inv_s2 = 2.0 * inv2s2
     h0 = (ht * HT).astype(jnp.float32)
@@ -1201,7 +1201,7 @@ def _mse_bwd_kernel_banded(sigma_ref, gsse_ref, d0_ref, gz_ref, gy_ref,
 
     trans = jax.lax.fori_loop(0, D, collapse,
                               jnp.ones((HT, D), jnp.float32))
-    gsil = gsse_ref[p, 0] * 2.0 * ((1.0 - trans) - mask_ref[0])
+    gsil = gsse_ref[0, p] * 2.0 * ((1.0 - trans) - mask_ref[0])
     gt = gsil * trans
 
     def fill_cot(d, _):
@@ -1217,7 +1217,7 @@ def _mse_bwd_kernel_banded(sigma_ref, gsse_ref, d0_ref, gz_ref, gy_ref,
 
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
-        d0 = d0_ref[p, c]
+        d0 = d0_ref[c, p]
         gz_full = gz_ref[0, 0, sl]
         gy_full = gy_ref[0, 0, sl]
         gx = gx_ref[0, 0, sl]
@@ -1276,7 +1276,7 @@ def _run_mse_bwd_banded(gz, gy, gx, sigma, masks, gsse, S, V, K, D, DB,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), gsse.reshape(P, 1), d0, gz, gy, gx, masks)
+    )(sigma.reshape(1, P), gsse.reshape(1, P), d0.T, gz, gy, gx, masks)
     return (dgz.reshape(P, N), dgy.reshape(P, N), dgx.reshape(P, N))
 
 
@@ -1403,7 +1403,7 @@ def _rgb_mse_fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref,
                             radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     packed_s[...] = jnp.zeros_like(packed_s)
     _accumulate_rgb_packed(packed_s, gz_ref, gy_ref, gx_ref, cr_ref,
                            cg_ref, cb_ref, sigma, D, HT, radius, chunk,
@@ -1469,7 +1469,7 @@ def _run_rgb_mse_fwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
             bytes_accessed=P * (N * 24 + D * D * 16),
             transcendentals=P * N * (D * D + D)),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), *ops, masks, images)
+    )(sigma.reshape(1, P), *ops, masks, images)
     s = jnp.sum(sse, axis=(1, 3))                         # (P, 8)
     return s[:, :2]                                       # (P, 2)
 
@@ -1481,7 +1481,7 @@ def _rgb_mse_bwd_kernel_soa(sigma_ref, gsse_ref, gz_ref, gy_ref, gx_ref,
                             *, D, HT, radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     inv2s2 = 0.5 / (sigma * sigma)
     h0 = (ht * HT).astype(jnp.float32)
 
@@ -1517,8 +1517,8 @@ def _rgb_mse_bwd_kernel_soa(sigma_ref, gsse_ref, gz_ref, gy_ref, gx_ref,
                           jnp.zeros((3, HT, D), jnp.float32)))
     mask = mask_ref[0]
     # in-kernel loss seeds: d sse_sil/d sil and d sse_rgb/d img
-    gsil = gsse_ref[p, 0] * 2.0 * ((1.0 - trans) - mask)
-    gimg = gsse_ref[p, 1] * 2.0 * (img - imgt_ref[0]) * mask[None]
+    gsil = gsse_ref[0, p] * 2.0 * ((1.0 - trans) - mask)
+    gimg = gsse_ref[1, p] * 2.0 * (img - imgt_ref[0]) * mask[None]
     _rgb_rev_sweep(occ_s, r_s, g_s, b_s, t_s, gsil, gimg, D, HT)
     _pack4(packed_s, occ_s, r_s, g_s, b_s, D)
     _rgb_grad_chunks(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
@@ -1557,7 +1557,7 @@ def _run_rgb_mse_bwd_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), gsse, *ops, masks, images)
+    )(sigma.reshape(1, P), gsse.T, *ops, masks, images)
     return tuple(o.reshape(P, N) for o in outs)
 
 
@@ -1638,7 +1638,7 @@ def _rgb_mse_onepass_kernel_soa(sigma_ref, ct_ref, gz_ref, gy_ref, gx_ref,
                                 radius, chunk, bf16):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     inv2s2 = 0.5 / (sigma * sigma)
     h0 = (ht * HT).astype(jnp.float32)
 
@@ -1678,8 +1678,8 @@ def _rgb_mse_onepass_kernel_soa(sigma_ref, ct_ref, gz_ref, gy_ref, gx_ref,
     sse_ref[0, 0, 1, :] = jnp.sum(jnp.sum(err_i * err_i, axis=0) * mask,
                                   axis=0)
     # ct-weighted in-kernel seeds (the VJP backward rescales by gsse/ct)
-    gsil = ct_ref[p, 0] * 2.0 * err_s
-    gimg = ct_ref[p, 1] * 2.0 * err_i * mask[None]
+    gsil = ct_ref[0, p] * 2.0 * err_s
+    gimg = ct_ref[1, p] * 2.0 * err_i * mask[None]
     _rgb_rev_sweep(occ_s, r_s, g_s, b_s, t_s, gsil, gimg, D, HT)
     _pack4(packed_s, occ_s, r_s, g_s, b_s, D)
     _rgb_grad_chunks(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
@@ -1722,7 +1722,7 @@ def _run_rgb_mse_onepass_soa(gz, gy, gx, cr, cg, cb, sigma, masks, images,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), ct, *ops, masks, images)
+    )(sigma.reshape(1, P), ct.T, *ops, masks, images)
     sse = jnp.sum(outs[0], axis=(1, 3))[:, :2]            # (P, 2)
     return (sse,) + tuple(o.reshape(P, N) for o in outs[1:])
 

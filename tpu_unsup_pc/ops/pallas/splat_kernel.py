@@ -30,8 +30,11 @@ the one-pass render kernel's opt-in sigma Jacobian —
 render_kernel.render_drc_mse_onepass(sigma_grad=True); asserted at the
 loss call site).
 
-Per-pair sigma is a (P, 1) float32 operand in SMEM, so annealed and
-per-cloud-scaled sigmas both work under one compile.
+Per-pair sigma is a (1, P) float32 operand in SMEM (ROW layout: SMEM
+pads each sublane row to 128 lanes, so a (P, 1) column costs 512 B/pair
+and OOMs the 1 MB SMEM near P~2000 — refine-scale pair counts; one row
+of P lanes costs 4 B/pair), so annealed and per-cloud-scaled sigmas both
+work under one compile.
 """
 
 from __future__ import annotations
@@ -117,7 +120,7 @@ def _fwd_kernel(sigma_ref, g_ref, out_ref, *, D, radius):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    sigma = sigma_ref[pl.program_id(0), 0]
+    sigma = sigma_ref[0, pl.program_id(0)]
     inv2s2 = 0.5 / (sigma * sigma)
     g = g_ref[0]                                   # (chunk, 3)
     gz, gy, gx = g[:, 0], g[:, 1], g[:, 2]
@@ -156,13 +159,13 @@ def _run_fwd(g, sigma, D, radius, chunk):
             bytes_accessed=P * (N * 12 + D * D * D * 4),
             transcendentals=P * N * (D * D + D + 3 * (2 * radius + 2))),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), g)
+    )(sigma.reshape(1, P), g)
     return out.reshape(P, D, D, D)
 
 
 # ---------------------------------------------------------------- backward
 def _bwd_kernel(sigma_ref, g_ref, gout_ref, dg_ref, *, D, radius):
-    sigma = sigma_ref[pl.program_id(0), 0]
+    sigma = sigma_ref[0, pl.program_id(0)]
     inv2s2 = 0.5 / (sigma * sigma)
     inv_s2 = 2.0 * inv2s2
     g = g_ref[0]                                   # (chunk, 3)
@@ -228,7 +231,7 @@ def _run_bwd(g, sigma, gout, D, radius, chunk):
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), g, gout.reshape(P, D * D, D))
+    )(sigma.reshape(1, P), g, gout.reshape(P, D * D, D))
     return dg
 
 
@@ -296,7 +299,7 @@ def _rgb_splat_fwd_kernel(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref,
     from tpu_unsup_pc.ops.pallas.render_kernel import _accumulate_rgb_packed
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     packed_s[...] = jnp.zeros_like(packed_s)
     _accumulate_rgb_packed(packed_s, gz_ref, gy_ref, gx_ref, cr_ref,
                            cg_ref, cb_ref, sigma, D, HT, radius, chunk,
@@ -326,7 +329,7 @@ def _run_rgb_splat_fwd(gz, gy, gx, cr, cg, cb, sigma, D, radius, chunk):
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), *ops)
+    )(sigma.reshape(1, P), *ops)
     return out
 
 
@@ -343,7 +346,7 @@ def _rgb_splat_bwd_kernel(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref,
                           D, HT, radius, chunk):
     p = pl.program_id(0)
     ht = pl.program_id(1)
-    sigma = sigma_ref[p, 0]
+    sigma = sigma_ref[0, p]
     inv2s2 = 0.5 / (sigma * sigma)
     inv_s2 = 2.0 * inv2s2
     h0 = (ht * HT).astype(jnp.float32)
@@ -419,7 +422,7 @@ def _run_rgb_splat_bwd(gz, gy, gx, cr, cg, cb, sigma, cot, D, radius,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(sigma.reshape(P, 1), *ops, cot)
+    )(sigma.reshape(1, P), *ops, cot)
     return tuple(o.reshape(P, N) for o in outs)
 
 
