@@ -174,3 +174,86 @@ def test_refine_fused_path_interpret(rng):
     refined, sse = refine_quats(cfg, points, init, masks, steps=10, lr=0.05,
                                 sigma=SIGMA)
     assert float(sse[0, 0]) < float(sse0[0, 0]), (sse0, sse)
+
+
+def _two_color_bar(rng, B, N):
+    """Silhouette-symmetric, color-asymmetric cloud: a straight bar along
+    x, red on x<0 / blue on x>0. A 180° object rotation about z maps the
+    bar onto itself (silhouettes identical) but swaps the colors."""
+    t = np.linspace(-0.4, 0.4, N)
+    pts = np.stack([t, np.zeros(N), np.zeros(N)], -1)[None] + rng.normal(
+        scale=0.005, size=(B, N, 3))
+    col = np.where(t[:, None] < 0, np.array([1.0, 0.0, 0.0]),
+                   np.array([0.0, 0.0, 1.0]))
+    return (jnp.asarray(pts, jnp.float32),
+            jnp.asarray(np.broadcast_to(col, (B, N, 3)), jnp.float32))
+
+
+def _gt_renders(cfg, points, rgb, q_gt):
+    B = points.shape[0]
+    cams = Camera(quat=q_gt,
+                  distance=jnp.full((B,), cfg.camera_distance, jnp.float32),
+                  focal=jnp.full((B,), cfg.focal_length, jnp.float32))
+    sig = jnp.full((B,), SIGMA, jnp.float32)
+    out = project_pointclouds_batched(points, cams, sig, cfg, rgb=rgb)
+    return out.silhouette, out.rgb_image
+
+
+def test_refine_rgb_evidence_discriminates_flip(rng):
+    """Color evidence separates flip basins silhouettes cannot: on the
+    two-color bar, the flipped init's silhouette SSE ties the correct
+    one, but its masked RGB SSE is far larger — min-SSE selection picks
+    the right basin only with rgb_w > 0."""
+    from tpu_unsup_pc.refine import refine_quats_multi
+    B, N = 2, 128
+    points, rgb = _two_color_bar(rng, B, N)
+    q_gt = quat_from_euler(
+        jnp.asarray(rng.uniform(0, 6.28, B), jnp.float32),
+        jnp.asarray(rng.uniform(0.1, 0.8, B), jnp.float32))
+    masks, images = _gt_renders(CFG, points, rgb, q_gt)
+    # object-frame 180° flip about z: q_gt ∘ Rz(pi) — exact silhouette
+    # symmetry of the bar, color-swapping
+    zpi = quat_from_axis_angle(jnp.array([0.0, 0.0, 1.0]), np.pi)
+    flip = quat_multiply(q_gt, jnp.broadcast_to(zpi, q_gt.shape))
+    inits = jnp.stack([flip, q_gt], axis=1)[:, None]     # (B,1,2,4)
+    pts_s, rgb_s = points[:, None], rgb[:, None]
+    masks_s, images_s = masks[:, None], images[:, None]
+    _, sse_sil = refine_quats_multi(CFG, pts_s, inits, masks_s,
+                                    steps=0, sigma=SIGMA)
+    _, sse_rgb = refine_quats_multi(CFG, pts_s, inits, masks_s,
+                                    rgb=rgb_s, images=images_s,
+                                    steps=0, sigma=SIGMA, rgb_w=1.0)
+    sse_sil, sse_rgb = np.asarray(sse_sil[:, 0]), np.asarray(sse_rgb[:, 0])
+    # silhouette evidence against the flip is jitter-level noise —
+    # negligible next to the color term (measured ~0.03 vs ~70)...
+    assert np.all(sse_sil[:, 0] < 0.01 * sse_rgb[:, 0]), (sse_sil, sse_rgb)
+    # ...while color evidence separates the basins decisively
+    assert np.all(np.argmin(sse_rgb, axis=-1) == 1), sse_rgb
+    assert np.all(sse_rgb[:, 0] > 100.0 * np.maximum(sse_rgb[:, 1], 1e-6)), \
+        sse_rgb
+
+
+def test_refine_rgb_fused_interpret(rng):
+    """The fused RGB render+SSE path (interpret mode): same basin
+    separation, and gradient descent through the RGB kernel reduces the
+    combined SSE."""
+    from tpu_unsup_pc.refine import refine_quats_multi
+    cfg = CFG.replace(use_pallas=True, force_fused=True, pc_num_points=64,
+                      point_chunk=64)
+    B, N = 1, 64
+    points, rgb = _two_color_bar(rng, B, N)
+    q_gt = quat_from_euler(jnp.asarray([0.7]), jnp.asarray([0.4]))
+    masks, images = _gt_renders(CFG, points, rgb, q_gt)
+    zpi = quat_from_axis_angle(jnp.array([0.0, 0.0, 1.0]), np.pi)
+    flip = quat_multiply(q_gt, jnp.broadcast_to(zpi, q_gt.shape))
+    init = _perturb(rng, q_gt, 20.0)
+    inits = jnp.stack([flip, init], axis=1)[:, None]     # (B,1,2,4)
+    pts_s, rgb_s = points[:, None], rgb[:, None]
+    _, sse0 = refine_quats_multi(cfg, pts_s, inits, masks[:, None],
+                                 rgb=rgb_s, images=images[:, None],
+                                 steps=0, sigma=SIGMA)
+    _, sse = refine_quats_multi(cfg, pts_s, inits, masks[:, None],
+                                rgb=rgb_s, images=images[:, None],
+                                steps=8, lr=0.05, sigma=SIGMA)
+    assert np.all(np.argmin(np.asarray(sse[:, 0]), -1) == 1), sse
+    assert float(sse[0, 0, 1]) < float(sse0[0, 0, 1]), (sse0, sse)

@@ -51,13 +51,15 @@ def train_step(cfg: Config, state: training.TrainState, batch):
 
 
 def refine_poses(cfg: Config, output: ModelOutput, masks: jnp.ndarray,
+                 images: jnp.ndarray | None = None,
                  *, steps: int = 60, mode: str = "cross", **kw) -> dict:
     """Test-time pose refinement (unknown-pose setting, SURVEY.md §3.3's
     eval-time pose-alignment step): Adam-polish `output`'s predicted poses
-    against the observed masks through the differentiable renderer.
+    against the observed masks through the differentiable renderer. For
+    RGB models, pass `images` to add color evidence (flip-discriminative).
     Returns {"refined_best", "refined_student", "refined_sse"} — see
     refine.refine_output_poses. Measured: held-out median 14.2° → 8.6°
-    (docs/pose_training.md)."""
+    (sil-only model; docs/pose_training.md)."""
     from tpu_unsup_pc.refine import refine_output_poses
-    return refine_output_poses(cfg, output, masks, steps=steps, mode=mode,
-                               **kw)
+    return refine_output_poses(cfg, output, masks, images, steps=steps,
+                               mode=mode, **kw)

@@ -50,6 +50,11 @@ def parse_args(argv=None):
     p.add_argument("--refine-sigma-end", type=float, default=None,
                    help="anneal refinement sigma linearly to this value "
                         "(default: constant at --refine-sigma)")
+    p.add_argument("--refine-rgb-weight", type=float, default=1.0,
+                   help="weight of masked color SSE in the refinement/"
+                        "selection evidence (RGB models only; color is "
+                        "flip-discriminative where silhouettes are not; "
+                        "0 disables RGB evidence)")
     p.add_argument("--refine-mode", default="cross",
                    choices=("cross", "self"),
                    help="evidence for refinement/selection: cross = other "
@@ -144,10 +149,15 @@ def main(argv=None):
             if args.refine_steps > 0:
                 from tpu_unsup_pc.refine import refine_output_poses
                 ref = refine_output_poses(
-                    cfg, out, jnp.asarray(masks), steps=args.refine_steps,
+                    cfg, out, jnp.asarray(masks),
+                    (jnp.asarray(images)
+                     if out.cloud.rgb is not None
+                     and args.refine_rgb_weight > 0 else None),
+                    steps=args.refine_steps,
                     lr=args.refine_lr, sigma=args.refine_sigma,
                     sigma_end=args.refine_sigma_end,
-                    mode=args.refine_mode if args.all_views else "self")
+                    mode=args.refine_mode if args.all_views else "self",
+                    rgb_w=args.refine_rgb_weight)
                 ref_best.append(np.asarray(ref["refined_best"]))
                 ref_student.append(np.asarray(ref["refined_student"]))
     arrays = {"pred_points": np.concatenate(preds)}

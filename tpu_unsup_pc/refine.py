@@ -45,17 +45,27 @@ import optax
 from tpu_unsup_pc.ops.camera import Camera
 from tpu_unsup_pc.ops.project import (fused_render_available,
                                       project_pointclouds_batched,
-                                      render_sse_fused)
+                                      render_sse_fused,
+                                      render_sse_rgb_fused)
 from tpu_unsup_pc.utils.config import Config
 
 
-def _pair_sse_multi(cfg: Config, points, quats, dists, sigma, masks):
+def _pair_sse_multi(cfg: Config, points, quats, dists, sigma, masks,
+                    rgb=None, images=None, rgb_w: float = 1.0):
     """Multi-source SSE: every source cloud rendered into every (target
     view, init) pair. points (B,S,N,3), quats (B,V,C,4), dists (B,V,C),
-    sigma (B,S), masks (B,V,H,W) -> (B,S,V,C). Fast path: the fused
-    render+SSE kernel (silhouettes never leave VMEM); fallback: the
-    batched XLA projector."""
-    if fused_render_available(cfg, has_rgb=False):
+    sigma (B,S), masks (B,V,H,W) -> (B,S,V,C). With rgb (B,S,N,3) +
+    images (B,V,H,W,3), the per-pair evidence becomes
+    sil_SSE + rgb_w * masked_RGB_SSE — color evidence discriminates the
+    silhouette flip basins the same way training's RGB teacher selection
+    does. Fast path: the fused render+SSE kernels (silhouettes/images
+    never leave VMEM); fallback: the batched XLA projector."""
+    use_rgb = rgb is not None and images is not None
+    if fused_render_available(cfg, has_rgb=use_rgb):
+        if use_rgb:
+            sse = render_sse_rgb_fused(points, rgb, quats, dists, sigma,
+                                       masks, images, cfg)
+            return sse[..., 0] + rgb_w * sse[..., 1]
         return render_sse_fused(points, quats, dists, sigma, masks, cfg)
     B, S = points.shape[:2]
     V, C = quats.shape[1:3]
@@ -71,21 +81,32 @@ def _pair_sse_multi(cfg: Config, points, quats, dists, sigma, masks):
                                  jnp.float32))
     out = project_pointclouds_batched(
         flat(points[:, :, None, None]), cams,
-        flat(sigma[:, :, None, None]), cfg)
-    sils = out.silhouette.reshape(B, S, V, C, *masks.shape[-2:])
-    return jnp.sum((sils - masks[:, None, :, None]) ** 2, axis=(-2, -1))
+        flat(sigma[:, :, None, None]), cfg,
+        rgb=flat(rgb[:, :, None, None]) if use_rgb else None)
+    HW = masks.shape[-2:]
+    sils = out.silhouette.reshape(B, S, V, C, *HW)
+    sse = jnp.sum((sils - masks[:, None, :, None]) ** 2, axis=(-2, -1))
+    if use_rgb:
+        imgs = out.rgb_image.reshape(B, S, V, C, *HW, 3)
+        diff2 = jnp.sum((imgs - images[:, None, :, None]) ** 2, axis=-1)
+        sse = sse + rgb_w * jnp.sum(
+            diff2 * masks[:, None, :, None], axis=(-2, -1))
+    return sse
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "lr", "sigma", "sigma_end"))
+    static_argnames=("cfg", "steps", "lr", "sigma", "sigma_end", "rgb_w"))
 def refine_quats_multi(cfg: Config, points: jnp.ndarray,
                        init_quats: jnp.ndarray, masks: jnp.ndarray,
                        src_w: Optional[jnp.ndarray] = None,
-                       dists: Optional[jnp.ndarray] = None, *,
+                       dists: Optional[jnp.ndarray] = None,
+                       rgb: Optional[jnp.ndarray] = None,
+                       images: Optional[jnp.ndarray] = None, *,
                        steps: int = 60, lr: float = 0.03,
                        sigma: Optional[float] = None,
-                       sigma_end: Optional[float] = None):
+                       sigma_end: Optional[float] = None,
+                       rgb_w: float = 1.0):
     """Adam-refine C candidate rotations per (model, view) against
     src_w-weighted multi-source silhouette evidence.
 
@@ -96,6 +117,10 @@ def refine_quats_multi(cfg: Config, points: jnp.ndarray,
       src_w: (S, V) source→target evidence weights (default all-ones);
         e.g. 1-eye for cross-view-only evidence.
       dists: (B, V, C) camera distances; defaults to cfg.camera_distance.
+      rgb: optional (B, S, N, 3) per-point colors; with `images`, adds
+        rgb_w-weighted masked color SSE to the evidence (flip-
+        discriminative where silhouettes are not).
+      images: optional (B, V, H, W, 3) observed images.
       steps: refinement steps (static — the loop is a lax.scan).
       lr: Adam learning rate on the raw (unnormalized) quaternion.
       sigma: render sigma at step 0 (default cfg.sigma_end — what the
@@ -120,7 +145,8 @@ def refine_quats_multi(cfg: Config, points: jnp.ndarray,
     def agg_sse(q_raw, sig_val):
         q = q_raw / jnp.linalg.norm(q_raw, axis=-1, keepdims=True)
         sig = jnp.full((B, S), sig_val, jnp.float32)
-        sse = _pair_sse_multi(cfg, points, q, dists, sig, masks)
+        sse = _pair_sse_multi(cfg, points, q, dists, sig, masks,
+                              rgb, images, rgb_w)
         return jnp.sum(sse * w, axis=1) / jnp.maximum(
             jnp.sum(src_w, axis=0), 1.0)[None, :, None]  # (B,V,C)
 
@@ -155,15 +181,22 @@ def refine_quats(cfg: Config, points: jnp.ndarray, init_quats: jnp.ndarray,
     return q[:, 0], sse[:, 0]
 
 
-def refine_output_poses(cfg: Config, output, masks, *, steps: int = 60,
+def refine_output_poses(cfg: Config, output, masks, images=None, *,
+                        steps: int = 60,
                         lr: float = 0.03, sigma: Optional[float] = None,
                         sigma_end: Optional[float] = None,
-                        mode: str = "cross") -> dict:
-    """Refine a ModelOutput's predicted poses against the observed masks.
+                        mode: str = "cross",
+                        rgb_w: float = 1.0) -> dict:
+    """Refine a ModelOutput's predicted poses against the observed masks
+    (plus, for RGB models, the observed images).
 
     output: training.predict_step(...) result with pose != None over
       (M, V)-leading arrays (or (B,)-leading for single-view inputs, in
       which case mode falls back to "self"); masks matches (..., H, W).
+    images: optional observed images (..., H, W, 3); used (with
+      output.cloud.rgb) as rgb_w-weighted color evidence — color breaks
+      the silhouette flip ambiguity, so min-SSE init selection becomes
+      flip-discriminative the way training's RGB teacher selection is.
     mode: "cross" (default) scores view v's candidates against the OTHER
       views' clouds — detects symmetry flips; "self" uses only the view's
       own cloud — cheaper, polish-only.
@@ -175,6 +208,9 @@ def refine_output_poses(cfg: Config, output, masks, *, steps: int = 60,
     """
     assert mode in ("self", "cross"), mode
     points = output.cloud.points                      # (..., N, 3)
+    rgb = output.cloud.rgb if images is not None else None
+    if rgb is None:
+        images = None
     cand = output.pose.candidates                     # (..., K, 4)
     student = output.pose.student                     # (..., 4)
     lead = masks.shape[:-2]
@@ -195,7 +231,11 @@ def refine_output_poses(cfg: Config, output, masks, *, steps: int = 60,
             cfg, points.reshape((M, V) + points.shape[len(lead):]),
             inits.reshape(M, V, C, 4), masks, src_w,
             None if dists is None else dists.reshape(M, V, C),
-            steps=steps, lr=lr, sigma=sigma, sigma_end=sigma_end)
+            None if rgb is None
+            else rgb.reshape((M, V) + rgb.shape[len(lead):]),
+            images,
+            steps=steps, lr=lr, sigma=sigma, sigma_end=sigma_end,
+            rgb_w=rgb_w)
         refined = refined.reshape(-1, C, 4)
         sse = sse.reshape(-1, C)
     else:
@@ -205,7 +245,12 @@ def refine_output_poses(cfg: Config, output, masks, *, steps: int = 60,
             inits.reshape(B, 1, C, 4),
             masks.reshape(B, 1, *masks.shape[-2:]), None,
             None if dists is None else dists.reshape(B, 1, C),
-            steps=steps, lr=lr, sigma=sigma, sigma_end=sigma_end)
+            None if rgb is None
+            else rgb.reshape((B, 1) + rgb.shape[len(lead):]),
+            None if images is None
+            else images.reshape(B, 1, *images.shape[-3:]),
+            steps=steps, lr=lr, sigma=sigma, sigma_end=sigma_end,
+            rgb_w=rgb_w)
         refined = refined[:, 0]
         sse = sse[:, 0]
     best = jnp.argmin(sse, axis=-1)                   # (B,)
