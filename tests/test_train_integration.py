@@ -63,3 +63,31 @@ def test_pose_config_trains():
     assert np.all(np.isfinite(sil)) and np.all(np.isfinite(stud))
     assert np.mean(sil[-10:]) < 2.0 * np.mean(sil[:10]) + 0.05
     assert 0.0 <= min(stud) and max(stud) <= 1.0 + 1e-6
+
+
+def test_freeze_masks_updates():
+    """cfg.freeze zeroes optimizer updates for the named collections: after
+    real train steps the frozen subtrees are bit-identical (so a frozen
+    pose head's predictions cannot drift — the contract behind the
+    shape-recovery fine-tune in docs/pose_training.md) while the live
+    subtree moves. Also covers adamw weight decay + grad clipping, which
+    could each move frozen params through a different code path."""
+    cfg = presets.get("tiny").replace(
+        predict_pose=True, pose_candidates=2, source_views=1, batch_size=2,
+        num_views=2, learning_rate=1e-3, weight_decay=1e-3,
+        grad_clip_norm=1.0, freeze="encoder,pose_head").validate()
+    ds = SyntheticShapes(cfg, num_models=4, seed=0)
+    state = training.init_state(cfg)
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    for batch in ds.batches(steps=3):
+        state, _ = training.train_step(cfg, state, batch)
+    after = jax.tree_util.tree_map(np.asarray, state.params)
+    for name in ("encoder", "pose_head"):
+        frozen_same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: bool(np.array_equal(a, b)),
+            before[name], after[name]))
+        assert frozen_same, f"{name} moved despite freeze"
+    moved = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.any(a != b)), before["decoder"],
+        after["decoder"]))
+    assert moved, "decoder did not train"

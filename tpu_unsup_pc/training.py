@@ -44,6 +44,18 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         if cfg.weight_decay > 0 else optax.adam(lr)
     if cfg.grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    if cfg.freeze:
+        frozen = tuple(filter(None, cfg.freeze.split(",")))
+
+        def _mask(params):
+            return {k: jax.tree_util.tree_map(lambda _: k in frozen, v)
+                    for k, v in params.items()}
+
+        zero = optax.masked(optax.set_to_zero(), _mask)
+        # zero BEFORE tx so frozen grads don't skew global-norm clipping /
+        # adam moments, and AFTER so adamw's weight decay can't move
+        # frozen params either
+        tx = optax.chain(zero, tx, zero)
     return tx
 
 

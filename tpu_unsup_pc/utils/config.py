@@ -114,6 +114,13 @@ class Config:
     max_steps: int = 100_000
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0    # 0 disables
+    # comma-separated top-level param collections to freeze (optimizer
+    # updates zeroed): any of "encoder", "decoder", "pose_head". The
+    # shape-recovery fine-tune (docs/pose_training.md) freezes
+    # "encoder,pose_head" so the decoder retrains under the warm-started
+    # model's (fixed) pose predictions — pose metrics stay bit-identical
+    # while the decoder sees what is effectively known-pose training.
+    freeze: str = ""
     seed: int = 0
     dtype: str = "float32"         # compute dtype for nets: "float32"|"bfloat16"
 
@@ -189,6 +196,11 @@ class Config:
             f"pallas_band={self.pallas_band} must be -1, 0, or a positive "
             "multiple of 8")
         assert self.sigma_schedule in ("exp", "linear", "const")
+        for name in filter(None, self.freeze.split(",")):
+            assert name in ("encoder", "decoder", "pose_head"), (
+                f"freeze={self.freeze!r}: unknown collection {name!r}")
+            if name == "pose_head":
+                assert self.predict_pose, "freeze=pose_head needs predict_pose"
         assert self.pc_num_points > 0 and self.num_views >= 1
         if self.predict_pose:
             assert self.pose_candidates >= 1
