@@ -97,6 +97,42 @@ def test_train_warm_start_from_npz(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_best_tracker_survives_resume(tmp_path, monkeypatch):
+    """A resumed run re-seeds the best-checkpoint tracker from best.json,
+    so the first post-resume eval cannot clobber best_params.npz with a
+    worse state (regression: the tracker was in-memory only, and a crash
+    + resume silently overwrote the genuinely-best export)."""
+    monkeypatch.chdir(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    logs = str(tmp_path / "logs")
+    common = ["--preset", "tiny", "--num-models", "8",
+              "--ckpt-dir", ckpt, "--log-dir", logs,
+              "--eval-every", "5", "--best-ckpt-metric", "val_loss",
+              "--set", "ckpt_every=10"]
+    train.main(common + ["--steps", "10"])
+    bj = os.path.join(ckpt, "best.json")
+    with open(bj) as f:
+        rec = json.load(f)
+    assert rec["metric"] == "val_loss" and np.isfinite(rec["value"])
+
+    # simulate a better historical best than anything the resumed run
+    # will achieve; the resumed evals (val_loss >> 1e-12) must NOT win
+    rec["value"] = 1e-12
+    with open(bj, "w") as f:
+        json.dump(rec, f)
+    sentinel = b"sentinel-best-params"
+    with open(os.path.join(ckpt, "best_params.npz"), "wb") as f:
+        f.write(sentinel)
+
+    train.main(common + ["--steps", "20"])
+    with open(bj) as f:
+        rec2 = json.load(f)
+    assert rec2["value"] == 1e-12, "resume clobbered the restored best"
+    with open(os.path.join(ckpt, "best_params.npz"), "rb") as f:
+        assert f.read() == sentinel
+
+
+@pytest.mark.slow
 def test_params_npz_export_predict(tmp_path, monkeypatch):
     """tools/export_params.py round trip: orbax ckpt -> npz -> predict
     --params-npz produces the same clouds as the orbax path."""

@@ -214,8 +214,20 @@ def main(argv=None):
                     "pose_best_head_med_deg": r["best_head_med_deg"]}
 
     # best-checkpoint selection (--best-ckpt-metric): export params as a
-    # durable npz whenever the tracked eval metric improves
+    # durable npz whenever the tracked eval metric improves. A resumed run
+    # re-seeds the tracker from best.json so a post-resume eval can't
+    # clobber best_params.npz with a worse state.
     best = {"value": None}
+    if args.best_ckpt_metric and not args.no_resume and start:
+        _bj = os.path.join(cfg.ckpt_dir, "best.json")
+        if os.path.exists(_bj):
+            with open(_bj) as f:
+                _prev = json.load(f)
+            if _prev.get("metric") == args.best_ckpt_metric:
+                best.update(value=_prev["value"], step=_prev["step"])
+                print(f"restored best {args.best_ckpt_metric}="
+                      f"{_prev['value']:.4g} (step {_prev['step']})",
+                      flush=True)
 
     def track_best(value, step, state):
         hb = args.best_ckpt_metric != "val_loss"   # higher-is-better?
