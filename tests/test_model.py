@@ -2,6 +2,7 @@
 semantics, loss assembly."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -86,6 +87,21 @@ def test_translation_head_shapes_and_grads(rng):
                 for v in jax.tree_util.tree_leaves(
                     g["pose_head"]["translation_head"]))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_trans_offset_scale_bounds_output(rng):
+    """trans_offset_scale sets the tanh rails of the distance offset
+    (runs/c3trans: a 0.5 range over +-0.1 jitter amplified noise 5x),
+    and validate() rejects a range the data spread can't fit in."""
+    cfg = CFG.replace(predict_pose=True, predict_translation=True,
+                      pose_candidates=3, trans_offset_scale=0.15)
+    model = DPCModel(cfg=cfg)
+    batch = _dummy_batch(cfg, rng)
+    params = model.init(jax.random.PRNGKey(0), batch["image"])["params"]
+    out = model.apply({"params": params}, batch["image"])
+    assert np.abs(np.asarray(out.pose.trans_offset)).max() <= 0.15
+    with pytest.raises(AssertionError, match="cannot reach"):
+        cfg.replace(synth_dist_jitter=0.2).validate()
 
 
 def test_gt_cameras_use_batch_distance(rng):

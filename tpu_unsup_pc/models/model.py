@@ -44,6 +44,7 @@ class DPCModel(nn.Module):
             self.pose_head = PoseHead(
                 num_candidates=cfg.pose_candidates,
                 predict_translation=cfg.predict_translation,
+                trans_offset_scale=cfg.trans_offset_scale,
                 student_detach=cfg.pose_student_detach,
                 init_scale=cfg.pose_head_init_scale, dtype=dtype)
 

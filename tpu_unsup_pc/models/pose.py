@@ -30,6 +30,13 @@ class PoseHead(nn.Module):
     num_candidates: int = 4
     hidden: int = 256
     predict_translation: bool = False
+    trans_offset_scale: float = 0.5  # tanh range of the distance offset;
+                                     # match to the data's distance spread
+                                     # (an output range much wider than
+                                     # synth_dist_jitter amplifies
+                                     # unsaturated-tanh noise, measured
+                                     # runs/c3trans: offset_std 0.39 vs
+                                     # gt spread 0.115 at scale 0.5)
     student_detach: bool = False   # stop-grad the student head's trunk input
     init_scale: float | None = 0.2  # head init vs anchors; None = flax
                                     # default (lecun) — reproduces the
@@ -69,7 +76,8 @@ class PoseHead(nn.Module):
         if self.predict_translation:
             t = nn.Dense(K, dtype=self.dtype,
                          name="translation_head")(x).astype(jnp.float32)
-            trans = (0.5 * jnp.tanh(t)).reshape(batch_shape + (K,))
+            trans = (self.trans_offset_scale
+                     * jnp.tanh(t)).reshape(batch_shape + (K,))
         return PosePrediction(
             candidates=cand.reshape(batch_shape + (K, 4)),
             student=student.reshape(batch_shape + (4,)),

@@ -92,6 +92,10 @@ class Config:
     # docs/pose_training.md. None = flax default init (round-1 draws).
     pose_head_init_scale: float | None = 0.2
     predict_translation: bool = False  # regress camera distance offset too
+    # tanh range of the predicted distance offset; match to the data's
+    # actual distance spread (>= synth_dist_jitter) — a range much wider
+    # than the jitter amplifies unsaturated-tanh noise (runs/c3trans)
+    trans_offset_scale: float = 0.5
 
     # ---- projector (SURVEY §2 splatter/smoothing/projection, L2) ----
     vox_size: int = 64             # D: voxel grid D^3 (64 or 128)
@@ -184,9 +188,17 @@ class Config:
         # the frustum depth slab is centered on each camera's OWN distance
         # (ops/camera.py: w = (z - distance)/depth_extent), so jitter only
         # changes perspective magnification — but it must stay inside the
-        # translation head's +-0.5 offset rails and keep silhouettes from
-        # overflowing the image plane at close range
+        # translation head's +-trans_offset_scale rails (checked below)
+        # and keep silhouettes from overflowing the image plane at close
+        # range
         assert 0.0 <= self.synth_dist_jitter <= 0.2, self.synth_dist_jitter
+        assert 0.0 < self.trans_offset_scale <= 0.5, self.trans_offset_scale
+        if self.predict_translation and self.synth_dist_jitter > 0:
+            assert self.trans_offset_scale >= self.synth_dist_jitter, (
+                "translation head's tanh range cannot reach the data's "
+                f"distance spread: trans_offset_scale="
+                f"{self.trans_offset_scale} < synth_dist_jitter="
+                f"{self.synth_dist_jitter}")
         if self.exclude_self_view:
             assert self.num_views > 1, (
                 "exclude_self_view needs at least one non-self target view")
