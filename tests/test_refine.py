@@ -257,3 +257,41 @@ def test_refine_rgb_fused_interpret(rng):
                                 steps=8, lr=0.05, sigma=SIGMA)
     assert np.all(np.argmin(np.asarray(sse[:, 0]), -1) == 1), sse
     assert float(sse[0, 0, 1]) < float(sse0[0, 0, 1]), (sse0, sse)
+
+
+def test_refine_guard_rejects_basin_hops(rng):
+    """tools/refine_guard.py: per-view trust region keeps small refinement
+    moves (polish) and rejects large ones (flip-basin hops), so guarded
+    Acc@30 matches raw while guarded median matches refined on the
+    polished subset."""
+    import sys
+    sys.path.insert(0, "tools")
+    from refine_guard import guard_poses
+
+    M, V = 4, 5
+    az = rng.uniform(0, 2 * np.pi, size=(M, V)).astype(np.float32)
+    el = rng.uniform(-0.5, 0.5, size=(M, V)).astype(np.float32)
+    raw = np.asarray(quat_from_euler(jnp.asarray(az), jnp.asarray(el)))
+    zpi = np.asarray(quat_from_axis_angle(jnp.array([0.0, 0.0, 1.0]),
+                                          np.pi))
+    # refined = raw nudged by ~5 deg everywhere, except view 0 of every
+    # model which hops 180 deg (a flip-basin walk)
+    nudge = np.asarray(quat_from_axis_angle(
+        jnp.asarray(rng.normal(size=(M, V, 3)).astype(np.float32)),
+        np.full((M, V), np.deg2rad(5.0), np.float32)))
+    refined = np.array(quat_multiply(jnp.asarray(raw),
+                                     jnp.asarray(nudge)))
+    refined[:, 0] = np.asarray(quat_multiply(
+        jnp.asarray(raw[:, 0]), jnp.broadcast_to(zpi, raw[:, 0].shape)))
+
+    guarded, frac = guard_poses(raw, refined, guard_deg=15.0)
+    # the hop is rejected (kept at raw), the polish is accepted
+    assert np.allclose(guarded[:, 0], raw[:, 0]), "flip must be rejected"
+    assert np.allclose(guarded[:, 1:], refined[:, 1:]), \
+        "small moves must be accepted"
+    assert np.isclose(frac, (V - 1) / V), frac
+    # degenerate guards: 0 deg keeps everything raw, 360 accepts all
+    g0, f0 = guard_poses(raw, refined, guard_deg=0.0)
+    assert np.allclose(g0, raw) and f0 == 0.0
+    gall, fall = guard_poses(raw, refined, guard_deg=360.0)
+    assert np.allclose(gall, refined) and fall == 1.0

@@ -55,6 +55,13 @@ def parse_args(argv=None):
                         "selection evidence (RGB models only; color is "
                         "flip-discriminative where silhouettes are not; "
                         "0 disables RGB evidence)")
+    p.add_argument("--refine-guard-deg", type=float, default=15.0,
+                   help="trust-region gate: adds pred_pose_guarded = "
+                        "refined student where it moved <= this many "
+                        "degrees from the raw student, else raw (keeps "
+                        "the within-basin median gain without the flip-"
+                        "basin walks; val-selected 15 — see "
+                        "refine.guard_poses). 0 disables")
     p.add_argument("--refine-mode", default="cross",
                    choices=("cross", "self"),
                    help="evidence for refinement/selection: cross = other "
@@ -176,6 +183,14 @@ def main(argv=None):
     if ref_best:
         arrays["pred_pose_refined"] = np.concatenate(ref_best)
         arrays["pred_pose_refined_student"] = np.concatenate(ref_student)
+        if args.refine_guard_deg > 0:
+            from tpu_unsup_pc.refine import guard_poses
+            guarded, frac = guard_poses(arrays["pred_pose"],
+                                        arrays["pred_pose_refined_student"],
+                                        args.refine_guard_deg)
+            arrays["pred_pose_guarded"] = np.asarray(guarded)
+            print(f"guard {args.refine_guard_deg:g}deg: accepted "
+                  f"{frac:.1%} of refinements")
     if hasattr(dataset, "gt_points"):
         arrays["gt_points"] = dataset.gt_points[:n]
     np.savez_compressed(args.out, **arrays)

@@ -259,3 +259,28 @@ def refine_output_poses(cfg: Config, output, masks, images=None, *,
     return {"refined_best": refined_best.reshape(lead + (4,)),
             "refined_student": refined[:, K].reshape(lead + (4,)),
             "refined_sse": sse.reshape(lead + (C,))}
+
+
+def guard_poses(raw: jnp.ndarray, refined: jnp.ndarray,
+                guard_deg: float) -> tuple[jnp.ndarray, float]:
+    """Trust-region gate on refined poses: per entry, accept the refined
+    quaternion only if it moved <= guard_deg from its raw seed, else keep
+    the seed.
+
+    Measured motivation (docs/pose_training.md "lr sweep + trust-region
+    guard", runs/c3rgb_refine_sweep): on an accurate RGB pose model,
+    unguarded refinement halves the median error but walks 5-9% of views
+    across a silhouette-flip basin boundary (Acc@30 0.933 -> 0.84-0.88 on
+    val). Genuine within-basin polish is a small move while a basin hop is
+    a large one, so a ~15 deg gate keeps the median gain and recovers the
+    accuracy (held-out test: 12.59 -> 8.89 deg median at Acc@30 0.856 vs
+    raw 0.858).
+
+    Returns (guarded (..., 4), accepted fraction).
+    """
+    from tpu_unsup_pc.ops.quaternion import quat_angle_between
+    move = jnp.degrees(quat_angle_between(jnp.asarray(raw),
+                                          jnp.asarray(refined)))
+    take = move <= guard_deg
+    out = jnp.where(take[..., None], refined, raw)
+    return out, float(take.mean())
