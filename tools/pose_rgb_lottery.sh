@@ -9,14 +9,19 @@
 set -u
 cd "$(dirname "$0")/.."
 STEPS_PROBE=3000
+# RGB_W / PREFIX env overrides: the rgb_loss_weight=0.5 from-scratch
+# experiment (docs/pose_training.md "shape caveat") re-runs the lottery
+# at a lower color weight under runs/${PREFIX}$seed.
+RGB_W=${RGB_W:-1.0}
+PREFIX=${PREFIX:-c3rgb_seed}
 COMMON=(--preset c3_synth --use-pallas --pose-eval-every 2500
         --ckpt-keep 10 --num-models 256
-        --set predict_rgb=True
+        --set predict_rgb=True --set rgb_loss_weight=$RGB_W
         --set sigma_end=1.4 --set sigma_anneal_steps=20000
         --set pose_head_init_scale=1.0)
 SEEDS=${*:-"0 1 2 3 4 5"}
 for seed in $SEEDS; do
-  dir=runs/c3rgb_seed$seed
+  dir=runs/${PREFIX}$seed
   mkdir -p "$dir"
   echo "=== probing seed $seed ==="
   probe_log="$dir/probe_$(date +%s).out"
@@ -33,4 +38,4 @@ for seed in $SEEDS; do
   fi
   echo "seed $seed: acc30=$acc"
 done
-echo "probe sweep done — inspect runs/c3rgb_seed*/probe_*.out"
+echo "probe sweep done — inspect runs/${PREFIX}*/probe_*.out"
