@@ -127,11 +127,33 @@ def bench_oracle() -> float:
     return (B * V * N) / best
 
 
+def _which_path(cfg) -> str:
+    """Name the render path bench_jax actually exercises (BENCH honesty,
+    VERDICT r3 weak #3: a silent XLA fallback must be visible in the
+    artifact, not report a plausible-looking slow number untagged)."""
+    from tpu_unsup_pc.ops.project import fused_render_available
+    if not fused_render_available(cfg, has_rgb=False):
+        return "xla"
+    return "pallas_onepass" if cfg.pallas_onepass else "pallas"
+
+
 def main():
+    import sys
+    import traceback
+
+    from tpu_unsup_pc.configs import presets
+
     try:
         ours = bench_jax(use_pallas=True)
+        path = _which_path(presets.get("c1_synth").replace(use_pallas=True))
     except Exception:
+        # the fallback must be LOUD: print the Pallas failure to stderr and
+        # tag the JSON so BENCH_r0N can't silently change meaning
+        print("bench: Pallas path FAILED, falling back to XLA:",
+              file=sys.stderr)
+        traceback.print_exc()
         ours = bench_jax(use_pallas=False)
+        path = "xla_fallback"
     try:
         base = bench_oracle()
     except Exception:
@@ -142,6 +164,7 @@ def main():
         "value": round(ours, 1),
         "unit": "points*views/s/chip (64^3 grid, 2k pts, B8xV5)",
         "vs_baseline": round(ours / PINNED_ORACLE, 2),
+        "path": path,
         "oracle_live": round(base, 1) if base == base else None,
         "vs_oracle_live": live,
     }))

@@ -12,9 +12,15 @@
 // device compute via the Python-side prefetch queue.
 //
 // File layout (little-endian):
-//   header: magic "TUPC" | u32 version=1 | u32 M | u32 V | u32 H | u32 W
-//   record m (fixed size): f32 azimuth[V] | f32 elevation[V]
-//                          | u8 mask[V*H*W] | u8 image[V*H*W*3]
+//   header: magic "TUPC" | u32 version | u32 M | u32 V | u32 H | u32 W
+//   record m (fixed size):
+//     v1: f32 azimuth[V] | f32 elevation[V] | u8 mask[V*H*W]
+//         | u8 image[V*H*W*3]
+//     v2: f32 azimuth[V] | f32 elevation[V] | f32 distance[V]
+//         | u8 mask[V*H*W] | u8 image[V*H*W*3]
+// v2 adds the per-view camera distance so the native loader can serve the
+// jittered-distance configs (synth_dist_jitter / predict_translation);
+// v1 files stay readable (no distance field).
 //
 // C ABI (ctypes-friendly), see tpu_unsup_pc/data/native_loader.py.
 
@@ -130,14 +136,16 @@ void* tub_open(const char* path, int n_threads) {
   L->base = static_cast<const uint8_t*>(base);
   L->size = st.st_size;
   std::memcpy(&L->hdr, base, sizeof(Header));
-  if (std::memcmp(L->hdr.magic, "TUPC", 4) != 0 || L->hdr.version != 1) {
+  if (std::memcmp(L->hdr.magic, "TUPC", 4) != 0 ||
+      (L->hdr.version != 1 && L->hdr.version != 2)) {
     munmap(base, st.st_size);
     ::close(fd);
     delete L;
     return nullptr;
   }
   const size_t vhw = (size_t)L->hdr.v * L->hdr.h * L->hdr.w;
-  L->record_size = (size_t)L->hdr.v * 8 + vhw + vhw * 3;
+  const size_t scalars = L->hdr.version >= 2 ? 3 : 2;  // az, el[, dist]
+  L->record_size = (size_t)L->hdr.v * 4 * scalars + vhw + vhw * 3;
   L->records = L->base + sizeof(Header);
   if (sizeof(Header) + L->record_size * L->hdr.m > L->size) {
     munmap(base, st.st_size);
@@ -171,18 +179,26 @@ void tub_dims(void* h, int64_t* v, int64_t* hh, int64_t* w) {
   *w = L->hdr.w;
 }
 
+// 1 when the file carries a per-view camera-distance field (version >= 2).
+int64_t tub_has_distance(void* h) {
+  return static_cast<Loader*>(h)->hdr.version >= 2 ? 1 : 0;
+}
+
 // Gather batch `idx[0..B)` into caller buffers:
 //   img  f32[B, V, H, W, 3]  (uint8/255)
 //   mask f32[B, V, H, W]     (0.0/1.0)
 //   az, el f32[B, V]
+//   dist f32[B, V] or nullptr — filled only for version>=2 files
 // One pool task per batch element; returns after all elements are written.
 // Returns the (0-based) position of the first out-of-range index, or -1 on
 // success — indices are validated against hdr.m BEFORE any task is
 // submitted, so a bad index can never read past the mmap.
 int64_t tub_fill_batch(void* h, const int64_t* idx, int64_t B, float* img,
-                       float* mask, float* az, float* el) {
+                       float* mask, float* az, float* el, float* dist) {
   auto* L = static_cast<Loader*>(h);
   const size_t V = L->hdr.v, vhw = (size_t)L->hdr.v * L->hdr.h * L->hdr.w;
+  const bool has_dist = L->hdr.version >= 2;
+  const size_t scalar_bytes = V * 4 * (has_dist ? 3 : 2);
   for (int64_t b = 0; b < B; ++b)
     if (idx[b] < 0 || idx[b] >= (int64_t)L->hdr.m) return b;
   for (int64_t b = 0; b < B; ++b) {
@@ -192,7 +208,9 @@ int64_t tub_fill_batch(void* h, const int64_t* idx, int64_t B, float* img,
       const float* f = reinterpret_cast<const float*>(rec);
       std::memcpy(az + b * V, f, V * sizeof(float));
       std::memcpy(el + b * V, f + V, V * sizeof(float));
-      const uint8_t* mk = rec + V * 8;
+      if (has_dist && dist != nullptr)
+        std::memcpy(dist + b * V, f + 2 * V, V * sizeof(float));
+      const uint8_t* mk = rec + scalar_bytes;
       const uint8_t* im = mk + vhw;
       float* mask_out = mask + b * vhw;
       for (size_t i = 0; i < vhw; ++i) mask_out[i] = mk[i] ? 1.0f : 0.0f;

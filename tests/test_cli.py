@@ -165,6 +165,43 @@ def test_params_npz_export_predict(tmp_path, monkeypatch):
                                    atol=1e-6)
 
 
+@pytest.mark.slow
+def test_tub_pose_best_ckpt(tmp_path, monkeypatch):
+    """Best-checkpoint selection on an ON-DISK dataset: a c3-style run on
+    the native TUB loader exercises --pose-eval-every + --best-ckpt-metric
+    through the eval_arrays accessor (VERDICT r3 weak #4: the gate was
+    hasattr(dataset, 'images'), a silent no-op for tub/shapenet)."""
+    monkeypatch.chdir(tmp_path)
+    from tpu_unsup_pc.configs import presets
+    from tpu_unsup_pc.data import SyntheticShapes
+    from tpu_unsup_pc.data.native_loader import write_tub_dataset
+
+    cfg = presets.get("tiny").replace(predict_pose=True,
+                                      synth_shapes="asym")
+    for split, n in (("train", 8), ("val", 4)):
+        ds = SyntheticShapes(cfg, split=split, num_models=n)
+        write_tub_dataset(str(tmp_path / f"{split}.tub"), ds.images,
+                          ds.masks, ds.azimuth, ds.elevation)
+    ckpt = str(tmp_path / "ckpt")
+    train.main(["--preset", "tiny", "--dataset", "tub",
+                "--data-dir", str(tmp_path), "--steps", "6",
+                "--ckpt-dir", ckpt, "--log-dir", str(tmp_path / "logs"),
+                "--set", "predict_pose=True", "--set", "synth_shapes=asym",
+                "--pose-eval-every", "3", "--pose-eval-split", "val",
+                "--pose-eval-models", "4",
+                "--best-ckpt-metric", "pose_acc_30deg"])
+    assert os.path.exists(os.path.join(ckpt, "best_params.npz"))
+    with open(os.path.join(ckpt, "best.json")) as f:
+        assert json.load(f)["metric"] == "pose_acc_30deg"
+    # requesting the metric without a runnable pose eval fails LOUDLY
+    with pytest.raises(SystemExit, match="pose_acc_30deg"):
+        train.main(["--preset", "tiny", "--steps", "2",
+                    "--ckpt-dir", str(tmp_path / "c2"),
+                    "--log-dir", str(tmp_path / "l2"),
+                    "--num-models", "4",
+                    "--best-ckpt-metric", "pose_acc_30deg"])
+
+
 def test_apply_overrides_literals():
     """--set parses JSON values, and Python-style True/False/None too (a
     truthy-"False" string silently enabled flags before r3)."""

@@ -77,11 +77,72 @@ def test_synthetic_distance_jitter():
     assert float(m_near.sum()) > float(m_far.sum()) * 1.15
 
 
+def test_pose_npz_override(tmp_path):
+    """pose_npz (pseudo-known-pose distillation): the train split's batches
+    carry the npz quaternions (normalized), val/test splits keep the GT
+    schema, and the loss builds cameras from the override exactly as it
+    would from matching euler angles."""
+    import jax.numpy as jnp
+
+    from tpu_unsup_pc.models.losses import _gt_cameras
+    from tpu_unsup_pc.ops.quaternion import quat_from_euler
+
+    V = CFG.num_views
+    q = np.random.default_rng(1).normal(size=(4, V, 4)).astype(np.float32)
+    path = str(tmp_path / "poses.npz")
+    np.savez(path, pred_pose_guarded=q * 2.0)   # un-normalized on purpose
+    cfg = CFG.replace(pose_npz=path)
+    ds = SyntheticShapes(cfg, num_models=4)
+    b = ds.get_batch(np.asarray([0, 2]))
+    assert b["quat"].shape == (2, V, 4)
+    np.testing.assert_allclose(np.linalg.norm(b["quat"], axis=-1), 1.0,
+                               rtol=1e-5)
+    # override is train-split-only
+    assert "quat" not in SyntheticShapes(cfg, num_models=4,
+                                         split="val").sample_batch(1)
+    # the loss camera uses the override verbatim; without it, the euler path
+    gt = {"azimuth": b["azimuth"], "elevation": b["elevation"]}
+    cam_e = _gt_cameras(cfg, gt)
+    cam_q = _gt_cameras(cfg, {**gt, "quat": b["quat"]})
+    assert not np.allclose(np.asarray(cam_q.quat), np.asarray(cam_e.quat))
+    same = _gt_cameras(cfg, {**gt, "quat": quat_from_euler(
+        jnp.asarray(b["azimuth"]), jnp.asarray(b["elevation"]))})
+    np.testing.assert_allclose(np.asarray(same.quat),
+                               np.asarray(cam_e.quat), atol=1e-6)
+    # shape mismatch (wrong num_models) fails loudly, not silently
+    import pytest
+    with pytest.raises(AssertionError):
+        SyntheticShapes(cfg, num_models=8)
+
+
 def test_synthetic_deterministic():
     a = SyntheticShapes(CFG, num_models=4, seed=7)
     b = SyntheticShapes(CFG, num_models=4, seed=7)
     np.testing.assert_array_equal(a.masks, b.masks)
     np.testing.assert_array_equal(a.gt_points, b.gt_points)
+
+
+def test_synthetic_render_cache(tmp_path, monkeypatch):
+    """The on-disk render cache round-trips bit-exactly and is keyed on
+    the render-relevant config (different num_models / shapes miss)."""
+    monkeypatch.setenv("SYNTH_CACHE_DIR", str(tmp_path))
+    a = SyntheticShapes(CFG, num_models=4, seed=7)
+    files = list(tmp_path.glob("synth_*.npz"))
+    assert len(files) == 1
+    b = SyntheticShapes(CFG, num_models=4, seed=7)      # cache hit
+    np.testing.assert_array_equal(a.masks, b.masks)
+    np.testing.assert_array_equal(a.images, b.images)
+    np.testing.assert_array_equal(a.distance, b.distance)
+    c = SyntheticShapes(CFG.replace(synth_shapes="asym"),
+                        num_models=4, seed=7)           # key miss
+    assert len(list(tmp_path.glob("synth_*.npz"))) == 2
+    assert not np.array_equal(a.masks, c.masks)
+    # cache-loaded datasets still apply the pose_npz override
+    q = np.random.default_rng(0).normal(size=(4, CFG.num_views, 4))
+    np.savez(str(tmp_path / "p.npz"), quat=q.astype(np.float32))
+    d = SyntheticShapes(CFG.replace(pose_npz=str(tmp_path / "p.npz")),
+                        num_models=4, seed=7)
+    assert d.has_quat and "quat" in d.get_batch(np.asarray([0]))
 
 
 def test_npz_round_trip(tmp_path):

@@ -12,6 +12,10 @@ import jax.numpy as jnp
 
 from tpu_unsup_pc.ops.pallas.splat_kernel import (pad_points,
                                                   splat_gauss_pallas_batched)
+
+# interpret-mode kernel equivalence dominates suite wall time on the 1-core
+# host; fast CI tier = `-m "not slow"` (README), full tier = TPUCHECK
+pytestmark = pytest.mark.slow
 from tpu_unsup_pc.ops.splat import splat_gauss_separable
 
 # Mosaic needs chunk-slice offsets provably 128-aligned on the lane axis

@@ -3,6 +3,11 @@ equivalence vs the composed XLA path, silhouette-only and RGB, including
 the H-tiled 128^3 configuration (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
+
+# interpret-mode kernel equivalence dominates suite wall time on the 1-core
+# host; fast CI tier = `-m "not slow"` (README), full tier = TPUCHECK
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

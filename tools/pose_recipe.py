@@ -1,0 +1,186 @@
+"""One-command config-3 pose reproduction (VERDICT r3 next #4): the full
+RGB-evidence recipe — seed lottery -> auto-select -> phase-2 refinement ->
+phase-3 sharp-sigma fine-tune [-> phase-4 more-data] -> held-out test eval
+— as a single driver with no manual seed picks.
+
+    python tools/pose_recipe.py --out-root runs/recipe_r4
+
+Protocol constants come from docs/pose_training.md ("RGB-evidence pose
+training"); the measured budgets at c3 throughput (~25 steps/s on v5e-1):
+probes 6 x 3k steps ~ 15 min, phase 2 15k steps ~ 15 min, phase 3 12k
+steps ~ 12 min, plus in-train pose evals (coarse cadence — each val eval
+costs tens of seconds through the TPU tunnel). End-to-end ~ 1-1.5 h for
+the 3-phase recipe that lands 0.848 test Acc@30 with 256 models
+(BASELINE.md); --phase4-models 1024 adds the 24k-step data fine-tune
+(0.858).
+
+Training is bit-deterministic per (config, seed, data path), so a re-run
+reproduces the committed trajectories exactly; the lottery is the one
+stochastic gate, handled here by auto-extending the seed pool until a
+probe clears --min-takeoff (the winning basin is unambiguous at step
+2500: 0.361 vs <=0.166 for non-takeoff seeds).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+LOTTERY_SETS = [
+    "predict_rgb=True", "pose_student_weight=2",
+    "pose_head_init_scale=1.0", "sigma_end=1.4",
+    "sigma_anneal_steps=20000",
+]
+
+
+def _read_metric(log_dir, key, at_step=None):
+    path = os.path.join(log_dir, "metrics.jsonl")
+    best = None
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if key in rec and (at_step is None or rec["step"] == at_step):
+                best = rec[key]
+    return best
+
+
+def _train(args_list):
+    from tpu_unsup_pc import train
+    print("+ train " + " ".join(args_list), flush=True)
+    train.main(args_list)
+
+
+def probe_seed(root, seed, probe_steps, num_models):
+    d = os.path.join(root, f"seed{seed}")
+    log_dir = os.path.join(d, "logs")
+    done = os.path.join(d, "probe.json")
+    if os.path.exists(done):                      # resumable driver
+        with open(done) as f:
+            return json.load(f)["acc30"]
+    _train(["--preset", "c3_synth", "--use-pallas",
+            "--num-models", str(num_models),
+            "--steps", str(probe_steps),
+            "--pose-eval-every", "2500", "--ckpt-keep", "10",
+            "--ckpt-dir", os.path.join(d, "ckpt"), "--log-dir", log_dir]
+           + [x for s in LOTTERY_SETS + [f"seed={seed}"]
+              for x in ("--set", s)])
+    acc = _read_metric(log_dir, "pose_acc_30deg")
+    with open(done, "w") as f:
+        json.dump({"seed": seed, "acc30": acc}, f)
+    return acc
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out-root", default="runs/pose_recipe")
+    p.add_argument("--num-models", type=int, default=256)
+    p.add_argument("--probe-steps", type=int, default=3000)
+    p.add_argument("--min-takeoff", type=float, default=0.25,
+                   help="probe Acc@30 that counts as lottery takeoff")
+    p.add_argument("--initial-seeds", type=int, default=6)
+    p.add_argument("--max-seeds", type=int, default=12,
+                   help="auto-extend the pool up to this many seeds when "
+                        "no probe clears --min-takeoff")
+    p.add_argument("--phase2-steps", type=int, default=18000)
+    p.add_argument("--phase3-steps", type=int, default=12000)
+    p.add_argument("--phase4-models", type=int, default=0,
+                   help="0 = stop after phase 3 (0.848 test Acc@30); "
+                        "1024 reproduces the phase-4 headline (0.858)")
+    p.add_argument("--phase4-steps", type=int, default=24000)
+    p.add_argument("--test-models", type=int, default=64)
+    args = p.parse_args(argv)
+    root = args.out_root
+    os.makedirs(root, exist_ok=True)
+
+    # ---- phase 1: lottery — probe seeds until one takes off ----
+    probes, winner = {}, None
+    for seed in range(args.max_seeds):
+        acc = probe_seed(root, seed, args.probe_steps, args.num_models)
+        probes[seed] = acc
+        print(f"[lottery] seed {seed}: probe acc30={acc}", flush=True)
+        if acc is not None and acc >= args.min_takeoff:
+            winner = seed
+            break
+    if winner is None:
+        raise SystemExit(
+            f"no probe cleared min-takeoff={args.min_takeoff} in "
+            f"{len(probes)} seeds: {probes}. Extend --max-seeds "
+            "(P(takeoff)~1/6 per seed at rgb_loss_weight=1.0).")
+    print(f"[lottery] winner: seed {winner} "
+          f"(acc30={probes[winner]})", flush=True)
+
+    # ---- phase 2: resume the winner to 18k with val best-ckpt ----
+    wdir = os.path.join(root, f"seed{winner}")
+    _train(["--preset", "c3_synth", "--use-pallas",
+            "--num-models", str(args.num_models),
+            "--steps", str(args.phase2_steps),
+            "--pose-eval-every", "2000", "--pose-eval-split", "val",
+            "--best-ckpt-metric", "pose_acc_30deg", "--ckpt-keep", "10",
+            "--ckpt-dir", os.path.join(wdir, "ckpt"),
+            "--log-dir", os.path.join(wdir, "logs")]
+           + [x for s in LOTTERY_SETS + [f"seed={winner}"]
+              for x in ("--set", s)])
+    p2_best = os.path.join(wdir, "ckpt", "best_params.npz")
+
+    # ---- phase 3: sharp-sigma warm-start fine-tune ----
+    p3 = os.path.join(root, "phase3")
+    _train(["--preset", "c3_synth", "--use-pallas",
+            "--num-models", str(args.num_models),
+            "--steps", str(args.phase3_steps),
+            "--init-params-npz", p2_best,
+            "--pose-eval-every", "2000", "--pose-eval-split", "val",
+            "--best-ckpt-metric", "pose_acc_30deg",
+            "--ckpt-dir", os.path.join(p3, "ckpt"),
+            "--log-dir", os.path.join(p3, "logs")]
+           + [x for s in ["predict_rgb=True", "pose_student_weight=2",
+                          "pose_head_init_scale=1.0", "sigma_start=1.63",
+                          "sigma_end=1.0", "sigma_anneal_steps=8000",
+                          "learning_rate=5e-5", f"seed={winner}"]
+              for x in ("--set", s)])
+    final = os.path.join(p3, "ckpt", "best_params.npz")
+
+    # ---- optional phase 4: more-data fine-tune ----
+    if args.phase4_models:
+        p4 = os.path.join(root, "phase4")
+        _train(["--preset", "c3_synth", "--use-pallas",
+                "--num-models", str(args.phase4_models),
+                "--steps", str(args.phase4_steps),
+                "--init-params-npz", final,
+                "--pose-eval-every", "2000", "--pose-eval-split", "val",
+                "--best-ckpt-metric", "pose_acc_30deg",
+                "--ckpt-dir", os.path.join(p4, "ckpt"),
+                "--log-dir", os.path.join(p4, "logs")]
+               + [x for s in ["predict_rgb=True", "pose_student_weight=2",
+                              "pose_head_init_scale=1.0",
+                              "sigma_start=1.0", "sigma_end=1.0",
+                              "sigma_anneal_steps=8000",
+                              "learning_rate=5e-5", f"seed={winner}"]
+                  for x in ("--set", s)])
+        final = os.path.join(p4, "ckpt", "best_params.npz")
+
+    # ---- held-out test eval ----
+    from tpu_unsup_pc import eval_pose, predict
+    preds = os.path.join(root, "test_preds.npz")
+    predict.main(["--preset", "c3_synth", "--params-npz", final,
+                  "--all-views", "--num-models", str(args.test_models),
+                  "--split", "test", "--batch-size", "16",
+                  "--set", "use_pallas=True", "--set", "predict_rgb=True",
+                  "--poses-only", "--out", preds])
+    stats = eval_pose.main(["--pred", preds,
+                            "--out", os.path.join(root,
+                                                  "pose_eval_test.json")])
+    summary = {"probes": probes, "winner_seed": winner,
+               "final_params": final, "test": stats}
+    with open(os.path.join(root, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,8 @@ def main(argv=None):
         ds = SyntheticShapes(cfg, split=args.split,
                              num_models=args.num_models)
         write_tub_dataset(args.out, ds.images, ds.masks, ds.azimuth,
-                          ds.elevation)
+                          ds.elevation,
+                          distance=ds.distance if ds.has_distance else None)
         # keep GT clouds alongside for chamfer eval
         np.savez_compressed(args.out + ".gt.npz", gt_points=ds.gt_points)
     elif args.from_npz:

@@ -29,7 +29,7 @@ _LOCK = threading.Lock()
 _LIB = None
 
 MAGIC = b"TUPC"
-VERSION = 1
+VERSION = 2  # v2 records carry f32 distance[V]; v1 files stay readable
 
 
 def _build_lib() -> str:
@@ -55,28 +55,37 @@ def _lib():
             lib.tub_num_models.argtypes = [ctypes.c_void_p]
             lib.tub_dims.argtypes = [ctypes.c_void_p] + \
                 [ctypes.POINTER(ctypes.c_int64)] * 3
+            lib.tub_has_distance.restype = ctypes.c_int64
+            lib.tub_has_distance.argtypes = [ctypes.c_void_p]
             lib.tub_fill_batch.restype = ctypes.c_int64
             lib.tub_fill_batch.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
-                ctypes.c_int64] + [ctypes.POINTER(ctypes.c_float)] * 4
+                ctypes.c_int64] + [ctypes.POINTER(ctypes.c_float)] * 5
             _LIB = lib
     return _LIB
 
 
 def write_tub_dataset(path: str, images: np.ndarray, masks: np.ndarray,
-                      azimuth: np.ndarray, elevation: np.ndarray) -> None:
+                      azimuth: np.ndarray, elevation: np.ndarray,
+                      distance: np.ndarray | None = None) -> None:
     """Serialize (M,V,H,W,3)/(M,V,H,W)/(M,V)/(M,V) arrays as one TUB file.
-    images in [0,1] float or uint8; masks thresholded at 0.5."""
+    images in [0,1] float or uint8; masks thresholded at 0.5. With
+    `distance` (M,V) the file is version 2 (per-view camera distances —
+    the jittered-distance configs); without it a version-1 file, so the
+    legacy read path stays exercised."""
     M, V, H, W = masks.shape
+    version = VERSION if distance is not None else 1
     if images.dtype != np.uint8:
         images = (np.clip(images, 0, 1) * 255 + 0.5).astype(np.uint8)
     masks_u8 = (masks > 0.5).astype(np.uint8)
     with open(path, "wb") as f:
         f.write(MAGIC)
-        f.write(np.asarray([VERSION, M, V, H, W], np.uint32).tobytes())
+        f.write(np.asarray([version, M, V, H, W], np.uint32).tobytes())
         for m in range(M):
             f.write(azimuth[m].astype(np.float32).tobytes())
             f.write(elevation[m].astype(np.float32).tobytes())
+            if distance is not None:
+                f.write(distance[m].astype(np.float32).tobytes())
             f.write(masks_u8[m].tobytes())
             f.write(images[m].tobytes())
 
@@ -101,6 +110,7 @@ class TubDataset:
                      ctypes.byref(w))
         self.V, self.H, self.W = v.value, hh.value, w.value
         assert self.V >= cfg.num_views, (self.V, cfg.num_views)
+        self.has_distance = bool(lib.tub_has_distance(self._h))
         self._n = lib.tub_num_models(self._h)
         self._rng = np.random.default_rng(cfg.seed if seed is None else seed)
         self._prefetch = prefetch
@@ -124,16 +134,28 @@ class TubDataset:
         az = np.empty((B, V), np.float32)
         el = np.empty((B, V), np.float32)
         c_f = ctypes.POINTER(ctypes.c_float)
+        dist = np.empty((B, V), np.float32) if self.has_distance else None
         bad = self._lib.tub_fill_batch(
             self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             B, img.ctypes.data_as(c_f), mask.ctypes.data_as(c_f),
-            az.ctypes.data_as(c_f), el.ctypes.data_as(c_f))
+            az.ctypes.data_as(c_f), el.ctypes.data_as(c_f),
+            dist.ctypes.data_as(c_f) if dist is not None else None)
         if bad >= 0:
             raise IndexError(
                 f"model index {int(idx[bad])} out of range [0, {self._n})")
         Vc = self.cfg.num_views
-        return {"image": img[:, :Vc], "mask": mask[:, :Vc],
-                "azimuth": az[:, :Vc], "elevation": el[:, :Vc]}
+        batch = {"image": img[:, :Vc], "mask": mask[:, :Vc],
+                 "azimuth": az[:, :Vc], "elevation": el[:, :Vc]}
+        if dist is not None:
+            batch["distance"] = dist[:, :Vc]
+        return batch
+
+    def eval_arrays(self, n: int):
+        """Bounded (images, azimuth, elevation) materialization for the
+        in-train pose eval — same accessor as SyntheticShapes/
+        ShapeNetViews so best-checkpoint selection works on TUB runs."""
+        b = self.get_batch(np.arange(min(int(n), self._n)))
+        return b["image"], b["azimuth"], b["elevation"]
 
     def sample_batch(self, batch_size: int | None = None) -> Dict:
         bs = batch_size or self.cfg.batch_size

@@ -169,6 +169,32 @@ class SyntheticShapes:
         import zlib
         seed = ((cfg.seed if seed is None else seed)
                 + zlib.crc32(split.encode()) % 1000)
+        # deterministic on-disk render cache: generation is pure in
+        # (render-relevant config, seed, split, num_models), and fetching
+        # the rendered views back through the TPU tunnel costs ~10-20 min
+        # at 1024 models — every phase run re-paid it. Default on
+        # (SYNTH_CACHE_DIR="" disables); files are atomic-renamed so
+        # concurrent runs can share a directory.
+        import os
+        cache_dir = os.environ.get("SYNTH_CACHE_DIR", ".synth_cache")
+        cache_path = None
+        if cache_dir:
+            key_fields = (cfg.image_size, cfg.vox_size, cfg.num_views,
+                          cfg.synth_shapes, cfg.synth_dist_jitter,
+                          cfg.camera_distance, cfg.focal_length,
+                          cfg.depth_extent, _N_GT, seed, num_models)
+            key = zlib.crc32(repr(key_fields).encode())
+            cache_path = os.path.join(cache_dir,
+                                      f"synth_{key:08x}_{num_models}.npz")
+        if cache_path and os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                self.gt_points, self.gt_rgb = z["gt_points"], z["gt_rgb"]
+                self.azimuth, self.elevation = z["azimuth"], z["elevation"]
+                self.distance = z["distance"]
+                self.masks, self.images = z["masks"], z["images"]
+            self.has_distance = cfg.synth_dist_jitter > 0
+            self._finish_init(cfg, split, num_models, seed)
+            return
         rng = np.random.default_rng(seed)
         clouds, colors = zip(*[_make_cloud(rng, _N_GT, cfg.synth_shapes)
                                for _ in range(num_models)])
@@ -199,10 +225,44 @@ class SyntheticShapes:
             images.append(np.asarray(im))
         self.masks = np.concatenate(masks)                 # (M,V,H,W)
         self.images = np.concatenate(images)               # (M,V,H,W,3)
+        if cache_path:
+            os.makedirs(cache_dir, exist_ok=True)
+            # np.savez appends ".npz" unless the name already ends with it
+            tmp = cache_path[:-4] + f".tmp{os.getpid()}.npz"
+            np.savez(tmp, gt_points=self.gt_points, gt_rgb=self.gt_rgb,
+                     azimuth=self.azimuth, elevation=self.elevation,
+                     distance=self.distance, masks=self.masks,
+                     images=self.images)
+            os.replace(tmp, cache_path)
+        self._finish_init(cfg, split, num_models, seed)
+
+    def _finish_init(self, cfg, split, num_models, seed):
+        """Init that is independent of the render cache: the batch rng and
+        the pseudo-known-pose override (utils/config.py pose_npz) — train
+        under externally predicted cameras instead of GT. Only the train
+        split is overridden; val/test evals keep GT geometry."""
+        self.has_quat = False
+        if cfg.pose_npz and split == "train":
+            with np.load(cfg.pose_npz) as d:
+                key = "quat" if "quat" in d.files else "pred_pose_guarded"
+                q = np.asarray(d[key], np.float32)
+            V = cfg.num_views
+            assert q.shape == (num_models, V, 4), (
+                f"pose_npz {cfg.pose_npz!r} key {key!r} has shape "
+                f"{q.shape}, expected ({num_models}, {V}, 4) — the npz "
+                "must be predicted over the SAME split/num_models/seed")
+            self.quat = q / np.linalg.norm(q, axis=-1, keepdims=True)
+            self.has_quat = True
         self._rng = np.random.default_rng(seed + 1)
 
     def __len__(self):
         return self.gt_points.shape[0]
+
+    def eval_arrays(self, n: int):
+        """First-n (images, azimuth, elevation) for the in-train pose eval
+        (common accessor across dataset backends — train.py)."""
+        n = min(int(n), len(self))
+        return self.images[:n], self.azimuth[:n], self.elevation[:n]
 
     def sample_batch(self, batch_size: int | None = None) -> Dict:
         bs = batch_size or self.cfg.batch_size
@@ -215,6 +275,8 @@ class SyntheticShapes:
                  "elevation": self.elevation[idx]}
         if self.has_distance:
             batch["distance"] = self.distance[idx]
+        if self.has_quat:
+            batch["quat"] = self.quat[idx]
         return batch
 
     def batches(self, steps: int,

@@ -35,9 +35,14 @@ from tpu_unsup_pc.utils.config import Config
 
 def _gt_cameras(cfg: Config, batch: dict) -> Camera:
     """Ground-truth cameras from the batch's azimuth/elevation (B, V).
+    A "quat" batch key (B, V, 4) overrides the euler-derived rotation —
+    the pseudo-known-pose distillation path (utils/config.py pose_npz),
+    where training cameras are a pose specialist's predictions.
     Per-view camera distances ride along when the dataset provides them
     (synth_dist_jitter > 0); otherwise the configured constant."""
-    q = quat_from_euler(batch["azimuth"], batch["elevation"])
+    q = batch.get("quat")
+    if q is None:
+        q = quat_from_euler(batch["azimuth"], batch["elevation"])
     shape = batch["azimuth"].shape
     dist = batch.get("distance")
     if dist is None:

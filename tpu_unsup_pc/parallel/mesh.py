@@ -25,11 +25,24 @@ def maybe_init_distributed() -> None:
     launch (coordinator env present); no-op locally. Must run before any
     backend use — so the guard checks ONLY environment variables (calling
     jax.process_count() here would itself initialize the backend and make
-    initialize() unusable)."""
-    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    initialize() unusable).
+
+    Rendezvous config comes from JAX_COORDINATOR_ADDRESS +
+    JAX_NUM_PROCESSES + JAX_PROCESS_ID when all are set (the manual
+    launch shape, e.g. two hosts of a multi-host v5e-8 or the 2-process
+    CPU test in tests/test_distributed.py); with only the address set,
+    initialize() falls back to jax's cluster auto-detection."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
         return
+    kw = {}
+    n, pid = (os.environ.get("JAX_NUM_PROCESSES"),
+              os.environ.get("JAX_PROCESS_ID"))
+    if n is not None and pid is not None:
+        kw = dict(coordinator_address=addr, num_processes=int(n),
+                  process_id=int(pid))
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kw)
     except RuntimeError as e:  # already initialized / backend already up
         print(f"warning: jax.distributed.initialize skipped: {e}")
 

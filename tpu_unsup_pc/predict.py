@@ -68,6 +68,11 @@ def parse_args(argv=None):
                         "views' clouds into this view's mask (detects "
                         "symmetry flips; needs --all-views), self = own "
                         "cloud only")
+    p.add_argument("--poses-only", action="store_true",
+                   help="omit point clouds (pred_points/pred_rgb/gt_points) "
+                        "from the output npz — the distillation pose dump "
+                        "over a large train split only needs the pose "
+                        "arrays, not ~500MB of clouds")
     p.add_argument("--params-npz", default=None,
                    help="load params from a tools/export_params.py .npz "
                         "instead of an orbax checkpoint (the durable "
@@ -167,9 +172,11 @@ def main(argv=None):
                     rgb_w=args.refine_rgb_weight)
                 ref_best.append(np.asarray(ref["refined_best"]))
                 ref_student.append(np.asarray(ref["refined_student"]))
-    arrays = {"pred_points": np.concatenate(preds)}
-    if rgbs:
-        arrays["pred_rgb"] = np.concatenate(rgbs)
+    arrays = {}
+    if not args.poses_only:
+        arrays["pred_points"] = np.concatenate(preds)
+        if rgbs:
+            arrays["pred_rgb"] = np.concatenate(rgbs)
     if poses:
         arrays["pred_pose"] = np.concatenate(poses)
         arrays["gt_azimuth"] = np.concatenate(azs)
@@ -191,7 +198,7 @@ def main(argv=None):
             arrays["pred_pose_guarded"] = np.asarray(guarded)
             print(f"guard {args.refine_guard_deg:g}deg: accepted "
                   f"{frac:.1%} of refinements")
-    if hasattr(dataset, "gt_points"):
+    if hasattr(dataset, "gt_points") and not args.poses_only:
         arrays["gt_points"] = dataset.gt_points[:n]
     np.savez_compressed(args.out, **arrays)
     print(f"wrote {args.out}: " +

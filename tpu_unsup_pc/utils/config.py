@@ -30,6 +30,14 @@ class Config:
     # all 180deg-rotationally symmetric), "asym" (silhouette-identifiable
     # pose — required for the unknown-pose configs), "all" (union)
     synth_shapes: str = "classic"
+    # pseudo-known-pose distillation (VERDICT r3 missing #1): path to an
+    # npz carrying per-(model, view) camera quaternions ("quat" or
+    # "pred_pose_guarded", shape (M, V, 4)) that REPLACE the dataset's
+    # ground-truth cameras in the known-pose loss for the TRAIN split.
+    # Images/masks stay the real observations; only the believed camera
+    # changes — so a fresh shape model can train under a pose
+    # specialist's predictions instead of GT. "" = off.
+    pose_npz: str = ""
     # fractional per-(model, view) camera-distance jitter: views are
     # rendered at distance ~ U(camera_distance*(1-j), camera_distance*(1+j))
     # and batches carry a "distance" (B, V) field. 0 = fixed distance
