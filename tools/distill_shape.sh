@@ -14,12 +14,17 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=$PWD/.jax_cache
 MODELS=${MODELS:-1024}
 STEPS=${STEPS:-16000}
-OUT=runs/distill
+OUT=${OUT:-runs/distill}
+# pose specialist whose predictions become the cameras. Default = the
+# phase-4 model that produced runs/distill (reproducibility); pass
+# POSE_PARAMS=runs/c3rgb_sharp/best_params.npz OUT=runs/distill2 for
+# the sharp-anneal-model refresh (tools/sharp_anneal.sh).
+POSE_PARAMS=${POSE_PARAMS:-runs/c3rgb_phase4/best_params.npz}
 
 if [ ! -f $OUT/train_poses.npz ]; then
   echo "=== stage 1: dump guard-refined train-split poses ==="
   python -m tpu_unsup_pc.predict --preset c3_synth \
-      --params-npz runs/c3rgb_phase4/best_params.npz --all-views \
+      --params-npz $POSE_PARAMS --all-views \
       --num-models $MODELS --split train --batch-size 16 \
       --set use_pallas=True --set predict_rgb=True \
       --refine-steps 60 --refine-sigma 1.0 --refine-mode cross \
