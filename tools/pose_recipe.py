@@ -16,13 +16,14 @@ the 3-phase recipe that lands 0.848 test Acc@30 with 256 models
 
 Training is bit-deterministic per (config, seed, data path), so a re-run
 reproduces the committed trajectories exactly; the lottery is the one
-stochastic gate. MEASURED (runs/pose_recipe, round 4): probe Acc@30 at
-2.5k separates takeoff from non-takeoff but does NOT rank basin quality
-above the threshold — seed 0 probed 0.428 (vs the committed seed-5
-winner's 0.361) yet plateaued at phase-3 val 0.716 / test 0.65. The
-driver therefore probes the WHOLE initial pool, carries the top
---carry seeds through phase 2, and selects on phase-2 val best — the
-first point where basin quality is actually observable. Every stage is
+stochastic gate. MEASURED (runs/pose_recipe, round 4): neither probe
+Acc@30 nor phase-2 val rank basin quality — seed 0 probed 0.428 and
+held the best phase-2 val (0.7125) yet plateaued at phase-3 val 0.716 /
+test 0.65, while a 0.692 phase-2 basin reached 0.834/0.848. Entrenched
+flips only become visible once sigma sharpens. The driver therefore
+probes the WHOLE initial pool, carries the top --carry takeoff seeds
+through phases 2 AND 3, and selects on phase-3 val best — the first
+point where basin quality is actually observable. Every stage is
 cached on disk, so re-runs and extensions only pay for new work.
 """
 
@@ -36,8 +37,14 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
+# Probe/phase-1 constants: NOTE the student weight stays at the preset
+# default w=20 — the committed winning lottery ran at w=20 (verified
+# from runs/c3rgb_seed5/train.out loss decomposition: step-1 total
+# 10.26 = teacher 0.87 + 20 x student 0.47), and a w=2 lottery explores
+# DIFFERENT, measurably worse basins (runs/pose_recipe seeds 0/2:
+# phase-3 val 0.70-0.72 vs 0.834). w=2 enters at phase 2 (step 8k).
 LOTTERY_SETS = [
-    "predict_rgb=True", "pose_student_weight=2",
+    "predict_rgb=True",
     "pose_head_init_scale=1.0", "sigma_end=1.4",
     "sigma_anneal_steps=20000",
 ]
@@ -144,10 +151,20 @@ def main(argv=None):
     print(f"[lottery] takeoffs {took_off} -> carrying {carry} "
           "through phase 2", flush=True)
 
-    # ---- phase 2: each carried seed to 18k; select on val best ----
+    # ---- phase 1b + 2 per carried seed (the committed two-stage
+    # structure, docs/pose_training.md): w=20 symmetry breaking to step
+    # 8000, then w=2 refinement to 18k with val best-ckpt selection ----
     p2_val = {}
     for seed in carry:
         wdir = os.path.join(root, f"seed{seed}")
+        _train(["--preset", "c3_synth", "--use-pallas",
+                "--num-models", str(args.num_models),
+                "--steps", "8000",
+                "--pose-eval-every", "2500", "--ckpt-keep", "10",
+                "--ckpt-dir", os.path.join(wdir, "ckpt"),
+                "--log-dir", os.path.join(wdir, "logs")]
+               + [x for s in LOTTERY_SETS + [f"seed={seed}"]
+                  for x in ("--set", s)])
         _train(["--preset", "c3_synth", "--use-pallas",
                 "--num-models", str(args.num_models),
                 "--steps", str(args.phase2_steps),
@@ -156,33 +173,46 @@ def main(argv=None):
                 "--ckpt-keep", "10",
                 "--ckpt-dir", os.path.join(wdir, "ckpt"),
                 "--log-dir", os.path.join(wdir, "logs")]
-               + [x for s in LOTTERY_SETS + [f"seed={seed}"]
+               + [x for s in LOTTERY_SETS
+                  + ["pose_student_weight=2", f"seed={seed}"]
                   for x in ("--set", s)])
         p2_val[seed] = _read_best(os.path.join(wdir, "ckpt"))
         print(f"[phase2] seed {seed}: val best acc30={p2_val[seed]}",
               flush=True)
-    winner = max(p2_val, key=p2_val.get)
-    print(f"[phase2] winner: seed {winner} (val {p2_val[winner]})",
-          flush=True)
-    p2_best = os.path.join(root, f"seed{winner}", "ckpt",
-                           "best_params.npz")
 
-    # ---- phase 3: sharp-sigma warm-start fine-tune ----
-    p3 = os.path.join(root, f"phase3_s{winner}")
-    _train(["--preset", "c3_synth", "--use-pallas",
-            "--num-models", str(args.num_models),
-            "--steps", str(args.phase3_steps),
-            "--init-params-npz", p2_best,
-            "--pose-eval-every", "2000", "--pose-eval-split", "val",
-            "--best-ckpt-metric", "pose_acc_30deg",
-            "--ckpt-dir", os.path.join(p3, "ckpt"),
-            "--log-dir", os.path.join(p3, "logs")]
-           + [x for s in ["predict_rgb=True", "pose_student_weight=2",
-                          "pose_head_init_scale=1.0", "sigma_start=1.63",
-                          "sigma_end=1.0", "sigma_anneal_steps=8000",
-                          "learning_rate=5e-5", f"seed={winner}"]
-              for x in ("--set", s)])
-    final = os.path.join(p3, "ckpt", "best_params.npz")
+    # ---- phase 3: sharp-sigma fine-tune for EVERY carried seed ----
+    # Selection happens HERE, not at phase 2: basin quality (entrenched
+    # flips vs clean takeoff) is only observable once sigma sharpens —
+    # measured r4: seed 0 beat the eventual winner on phase-2 val
+    # (0.7125 vs 0.692) yet plateaued at phase-3 val 0.716 / test 0.65,
+    # while a 0.692 phase-2 basin reached 0.834/0.848.
+    p3_val = {}
+    for seed in carry:
+        p3 = os.path.join(root, f"phase3_s{seed}")
+        _train(["--preset", "c3_synth", "--use-pallas",
+                "--num-models", str(args.num_models),
+                "--steps", str(args.phase3_steps),
+                "--init-params-npz", os.path.join(
+                    root, f"seed{seed}", "ckpt", "best_params.npz"),
+                "--pose-eval-every", "2000", "--pose-eval-split", "val",
+                "--best-ckpt-metric", "pose_acc_30deg",
+                "--ckpt-dir", os.path.join(p3, "ckpt"),
+                "--log-dir", os.path.join(p3, "logs")]
+               + [x for s in ["predict_rgb=True",
+                              "pose_student_weight=2",
+                              "pose_head_init_scale=1.0",
+                              "sigma_start=1.63", "sigma_end=1.0",
+                              "sigma_anneal_steps=8000",
+                              "learning_rate=5e-5", f"seed={seed}"]
+                  for x in ("--set", s)])
+        p3_val[seed] = _read_best(os.path.join(p3, "ckpt"))
+        print(f"[phase3] seed {seed}: val best acc30={p3_val[seed]}",
+              flush=True)
+    winner = max(p3_val, key=p3_val.get)
+    print(f"[phase3] winner: seed {winner} (val {p3_val[winner]})",
+          flush=True)
+    final = os.path.join(root, f"phase3_s{winner}", "ckpt",
+                         "best_params.npz")
 
     # ---- optional phase 4: more-data fine-tune ----
     if args.phase4_models:
@@ -237,8 +267,8 @@ def main(argv=None):
                             "--out", os.path.join(root,
                                                   "pose_eval_test.json")])
     summary = {"probes": probes, "carried": carry, "phase2_val": p2_val,
-               "winner_seed": winner, "final_params": final,
-               "test": stats}
+               "phase3_val": p3_val, "winner_seed": winner,
+               "final_params": final, "test": stats}
     with open(os.path.join(root, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
