@@ -34,8 +34,9 @@ def test_train_predict_eval_pipeline(tmp_path, monkeypatch):
         recs = [json.loads(line) for line in f]
     assert recs[-1]["step"] == 40
 
-    # predict + eval
-    out = str(tmp_path / "preds.npz")
+    # predict + eval — into a not-yet-existing directory (predict must
+    # create it; a missing makedirs once cost an hour-long TPU pose dump)
+    out = str(tmp_path / "new_run_dir" / "preds.npz")
     predict.main(["--preset", "tiny", "--ckpt-dir", ckpt, "--out", out,
                   "--num-models", "6"])
     with np.load(out) as z:

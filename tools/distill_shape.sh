@@ -15,6 +15,10 @@ export JAX_COMPILATION_CACHE_DIR=$PWD/.jax_cache
 MODELS=${MODELS:-1024}
 STEPS=${STEPS:-16000}
 OUT=${OUT:-runs/distill}
+# trust-region guard for the stage-1 refinement. 15 was val-selected for
+# the phase-4 model; the sharp model's val sweep picked 10 (higher Acc
+# AND lower mean than 15 — runs/c3rgb_sharp/guard_sweep_val.jsonl).
+GUARD=${GUARD:-15}
 # pose specialist whose predictions become the cameras. Default = the
 # phase-4 model that produced runs/distill (reproducibility); pass
 # POSE_PARAMS=runs/c3rgb_sharp/best_params.npz OUT=runs/distill2 for
@@ -28,8 +32,11 @@ if [ ! -f $OUT/train_poses.npz ]; then
       --num-models $MODELS --split train --batch-size 16 \
       --set use_pallas=True --set predict_rgb=True \
       --refine-steps 60 --refine-sigma 1.0 --refine-mode cross \
-      --refine-lr 0.03 --refine-guard-deg 15 --poses-only \
+      --refine-lr 0.03 --refine-guard-deg $GUARD --poses-only \
       --out $OUT/train_poses.npz
+  # record the supervision quality the shape model will train under
+  python -m tpu_unsup_pc.eval_pose --pred $OUT/train_poses.npz \
+      --key pred_pose_guarded --out $OUT/pose_train_guarded.json
 fi
 
 echo "=== stage 2: fresh shape model under predicted cameras ==="

@@ -16,7 +16,17 @@ the 3-phase recipe that lands 0.848 test Acc@30 with 256 models
 
 Training is bit-deterministic per (config, seed, data path), so a re-run
 reproduces the committed trajectories exactly; the lottery is the one
-stochastic gate. MEASURED (runs/pose_recipe, round 4): neither probe
+stochastic gate.
+
+Budget note (measured r4): at ~3.5 steps/s sustained on v5e-1 (incl.
+in-train val evals), the 3-phase run is ~2.5 h and --phase4-models 1024
+--sharp adds ~3 h more. Only the probe jsons + summaries are committed
+(checkpoint dirs are cleaned — a full rerun re-trains phases 1b-3 from
+the cached probes). The phase-4 and sharp stages the driver chains are
+bit-for-bit the commands that produced the committed
+runs/c3rgb_phase4 (12.6deg/0.858) and runs/c3rgb_sharp (9.99deg/0.880)
+endpoints, so the one-command 3-phase evidence (runs/pose_recipe,
+test 0.8375) composes with those committed continuations. MEASURED (runs/pose_recipe, round 4): neither probe
 Acc@30 nor phase-2 val rank basin quality — seed 0 probed 0.428 and
 held the best phase-2 val (0.7125) yet plateaued at phase-3 val 0.716 /
 test 0.65, while a 0.692 phase-2 basin reached 0.834/0.848. Entrenched

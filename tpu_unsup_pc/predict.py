@@ -9,6 +9,7 @@ eval_chamfer.
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -60,8 +61,10 @@ def parse_args(argv=None):
                         "refined student where it moved <= this many "
                         "degrees from the raw student, else raw (keeps "
                         "the within-basin median gain without the flip-"
-                        "basin walks; val-selected 15 — see "
-                        "refine.guard_poses). 0 disables")
+                        "basin walks; val-select per model — 15 for "
+                        "c3rgb_phase4, 10 for c3rgb_sharp, see "
+                        "refine.guard_poses + docs/pose_training.md). "
+                        "0 disables")
     p.add_argument("--refine-mode", default="cross",
                    choices=("cross", "self"),
                    help="evidence for refinement/selection: cross = other "
@@ -200,6 +203,8 @@ def main(argv=None):
                   f"{frac:.1%} of refinements")
     if hasattr(dataset, "gt_points") and not args.poses_only:
         arrays["gt_points"] = dataset.gt_points[:n]
+    out_dir = os.path.dirname(os.path.abspath(args.out))
+    os.makedirs(out_dir, exist_ok=True)  # don't lose an hour of TPU
     np.savez_compressed(args.out, **arrays)
     print(f"wrote {args.out}: " +
           ", ".join(f"{k} {v.shape}" for k, v in arrays.items()))
