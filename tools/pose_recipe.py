@@ -18,15 +18,16 @@ Training is bit-deterministic per (config, seed, data path), so a re-run
 reproduces the committed trajectories exactly; the lottery is the one
 stochastic gate.
 
-Budget note (measured r4): at ~3.5 steps/s sustained on v5e-1 (incl.
-in-train val evals), the 3-phase run is ~2.5 h and --phase4-models 1024
---sharp adds ~3 h more. Only the probe jsons + summaries are committed
-(checkpoint dirs are cleaned — a full rerun re-trains phases 1b-3 from
-the cached probes). The phase-4 and sharp stages the driver chains are
-bit-for-bit the commands that produced the committed
-runs/c3rgb_phase4 (12.6deg/0.858) and runs/c3rgb_sharp (9.99deg/0.880)
-endpoints, so the one-command 3-phase evidence (runs/pose_recipe,
-test 0.8375) composes with those committed continuations. MEASURED (runs/pose_recipe, round 4): neither probe
+MEASURED END TO END (r4): `--phase4-models 1024 --sharp` ran through
+all six stages with no manual intervention (phases 1b-3 re-trained
+from the cached probes after the earlier session cleaned the ckpt
+dirs) and landed held-out test **9.88deg / 0.8984 Acc@30**
+(runs/pose_recipe/{summary.json,pose_eval_test.json}) — above even the
+committed hand-driven lineage (c3rgb_sharp 9.99/0.880). Wall clock:
+~1.7 h for phases 1b-4 + sharp + eval on v5e-1 (the chip was shared
+with other jobs for part of it; treat as an upper bound). The phase-3
+and sharp endpoints (best_params.npz) are now committed, so future
+extensions warm-start instead of re-training. MEASURED (runs/pose_recipe, round 4): neither probe
 Acc@30 nor phase-2 val rank basin quality — seed 0 probed 0.428 and
 held the best phase-2 val (0.7125) yet plateaued at phase-3 val 0.716 /
 test 0.65, while a 0.692 phase-2 basin reached 0.834/0.848. Entrenched
