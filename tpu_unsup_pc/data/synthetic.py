@@ -213,7 +213,13 @@ class SyntheticShapes:
                          * rng.uniform(1.0 - j, 1.0 + j, size=(num_models, V))
                          ).astype(np.float32)
         self.has_distance = j > 0
+        # scale the per-jit model chunk inversely with grid volume: 32
+        # models x 5 views of 64^3 grids fit HBM comfortably, but 256^3
+        # grids are 64x bigger (the renderer materializes per-view voxel
+        # grids on the XLA path) — 32 chunks OOM'd a 16GB chip at 256^3
         masks, images = [], []
+        render_chunk = max(1, min(render_chunk,
+                                  render_chunk * 128 ** 3 // cfg.vox_size ** 3))
         for i in range(0, num_models, render_chunk):
             sl = slice(i, i + render_chunk)
             m, im = _render_views(cfg, jnp.asarray(self.gt_points[sl]),

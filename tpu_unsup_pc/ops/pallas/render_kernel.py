@@ -1333,9 +1333,17 @@ def render_drc_mse_auto(gz, gy, gx, sigma, masks, pair_shape: tuple,
     fwd: the (N,3) output uses 3 of the MXU's 128 lanes, and bf16
     operands lose coordinate precision, max err 0.25 at D=128). On TPU
     the dense kernel's "wasted" VPU exps are cheaper than any data
-    movement that avoids them, so dense stays the default at every grid
-    size; `band` remains for grids large enough to flip the balance
-    (>=256³, untested).
+    movement that avoids them, so dense stays the default at the
+    BASELINE grid sizes (<=128³).
+
+    MEASURED CROSSOVER (r4, v5e-1, 20 pairs x 8192 pts, fwd+bwd via
+    jax.grad, sort tax included — tools/band_crossover_bench.py): the
+    band/D waste ratio grows with D while the sort tax grows only with
+    N, so the balance flips between 128³ and 192³:
+      128³ band=48: dense 25.2ms, auto 26.0ms  (dense wins — r3 stands)
+      192³ band=56: dense 73.3ms, auto 39.9ms  (banded 1.84x)
+      256³ band=56: dense 126.6ms, auto 49.8ms (banded 2.54x)
+    The `c4xl_256grid` preset ships with pallas_band=56 accordingly.
 
     When banding, sorts each pair's points by depth (the SSE is
     permutation-invariant over points; gradients route back through the

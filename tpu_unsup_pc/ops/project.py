@@ -208,6 +208,15 @@ def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
                                (B, S, V, K)).reshape(P)
     sigma_k = jnp.sqrt(sigma_p ** 2 + 1.0 / 6.0)    # hat-variance corr.
     band = None if cfg.pallas_band < 0 else cfg.pallas_band
+    if band is None and D >= 192 and not sigma_grad:
+        # auto-band large grids: at 256^3 the one-pass kernel measured
+        # 907ms fwd+bwd for 10 pairs x 8192 pts vs ~25ms banded (r4,
+        # tools/band_crossover_bench.py — the dense (chunk, D*HT)
+        # buffers shrink the chunk to starvation); crossover vs dense
+        # sits between 128^3 and 192^3. pallas_band=0 forces the
+        # unbanded kernels explicitly; sigma_grad (predict_scale) still
+        # requires the one-pass kernel and keeps the user's setting.
+        band = 56
     masks_c = masks.reshape(B * V, *masks.shape[-2:])
     if cfg.pallas_onepass and not band:
         sse = render_drc_mse_onepass(gz, gy, gx, sigma_k, masks_c,

@@ -242,7 +242,15 @@ def pointcloud_to_voxels(grid_coords: jnp.ndarray, vox_size: int, sigma,
         if rgb is not None:
             out["rgb"] = splat_trilinear(grid_coords, vox_size, rgb)
         return out
-    if use_pallas:
+    if use_pallas and vox_size <= 128:
+        # The standalone splat kernel is built for the BASELINE grids
+        # (<=128^3); at 256^3 Mosaic rejects its grid-block loads
+        # ("cannot statically prove index is a multiple of 128" on the
+        # coords block). Large grids take the separable-matmul XLA path
+        # below — the 256^3 TRAINING fast path is the fused banded
+        # render kernel (render_kernel.py), which never materializes
+        # grids at all, so this splat only serves dataset generation
+        # and grid visualization there.
         from tpu_unsup_pc.ops.pallas.splat_kernel import splat_gauss_pallas
         return splat_gauss_pallas(grid_coords, vox_size, sigma, rgb=rgb,
                                   radius=radius, chunk=chunk)

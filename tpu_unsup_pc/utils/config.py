@@ -179,8 +179,8 @@ class Config:
         return cls(**d)
 
     def validate(self) -> "Config":
-        assert self.image_size in (32, 64, 128), self.image_size
-        assert self.vox_size in (32, 64, 128), self.vox_size
+        assert self.image_size in (32, 64, 128, 256), self.image_size
+        assert self.vox_size in (32, 64, 128, 256), self.vox_size
         # silhouettes come out at vox_size resolution and are compared
         # against image-resolution masks — the two must match
         assert self.image_size == self.vox_size, (
