@@ -32,6 +32,10 @@ for which in $WHICH; do
     c1) run_one c1_quality c1_synth 12000 ;;
     c2) run_one c2_quality c2_synth 12000 ;;
     c4) run_one c4_quality c4_synth 6000 ;;
+    # 256^3 scale demo (r4): same protocol as c4 for an apples-to-apples
+    # chamfer anchor; dataset gen at 256 models is a one-time ~15 min
+    # cost through the tunnel (cached in .synth_cache thereafter)
+    c4xl) run_one c4xl_quality c4xl_synth 6000 ;;
     c5) run_one c5_quality c5_synth 4000 --set "mesh_shape=[1]" ;;
   esac
 done
