@@ -20,7 +20,16 @@ import numpy as np
 B, V, N, D = 8, 5, 2000, 64
 SIGMA = 1.0
 ITERS = 20
+REPEATS = 3       # best-of-3 timed loops (VERDICT r4 weak #3: on a shared
+                  # tunnel a single loop can't distinguish contention from
+                  # regression; the JSON reports best + worst + cv)
 ORACLE_ITERS = 3  # best-of-3 (the stand-in baseline shouldn't be noisy)
+
+# v5e per-chip MXU peak for the MFU denominator (documented in BASELINE.md):
+# 197 TFLOP/s at bf16 / default-precision matmul inputs — the mode the
+# fused kernels run in (f32 operands, default dot precision). MFU counts
+# the kernels' own matmul cost model (fused_mse_train_flops), not VPU exps.
+V5E_PEAK_FLOPS = 197e12
 
 # Pinned stand-in baseline (VERDICT r2 weak #2: the live oracle re-measure
 # drifts with host load on the 1-core machine, making vs_baseline
@@ -32,7 +41,7 @@ ORACLE_ITERS = 3  # best-of-3 (the stand-in baseline shouldn't be noisy)
 PINNED_ORACLE = 43000.0
 
 
-def bench_jax(use_pallas: bool = True) -> float:
+def bench_jax(use_pallas: bool = True) -> dict:
     """Time the projector fwd+bwd exactly as the train loop drives it: all
     B*V pairs flattened through project_pointclouds_batched (Pallas fused
     splat kernel when available)."""
@@ -81,16 +90,32 @@ def bench_jax(use_pallas: bool = True) -> float:
     # block_until_ready can return before the program finishes when
     # nothing has been fetched yet (see CLAUDE.md timing note)
     float(step(points)[0, 0, 0])              # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        g = step(points)
-    float(g[0, 0, 0])
-    dt = (time.perf_counter() - t0) / ITERS
+    dts = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            g = step(points)
+        float(g[0, 0, 0])
+        dts.append((time.perf_counter() - t0) / ITERS)
+    best, worst = min(dts), max(dts)
+    cv = float(np.std(dts) / np.mean(dts))
     n_chips = 1  # bench runs on the single real chip
     # rate of (point, view)-pair renders: B*V^2 pairs per step (all-pairs
     # loss, same as training); the oracle renders B*V pairs — both are
     # rates of the identical projector op, so the ratio is fair
-    return (B * V * V * N) / dt / n_chips
+    rate = lambda dt: (B * V * V * N) / dt / n_chips  # noqa: E731
+    out = {"value": rate(best), "value_worst": rate(worst),
+           "cv": round(cv, 4)}
+    if use_pallas and fused_render_available(cfg, has_rgb=False):
+        # MFU from the kernels' own matmul cost model (single source:
+        # render_kernel.fused_mse_train_flops); N pads to the chunk size
+        from tpu_unsup_pc.ops.pallas.render_kernel import \
+            fused_mse_train_flops
+        n_pad = N + ((-N) % cfg.point_chunk)
+        flops = fused_mse_train_flops(B * V * V, n_pad, cfg.vox_size)
+        out["tflops"] = round(flops / best / 1e12, 2)
+        out["mfu"] = round(flops / best / V5E_PEAK_FLOPS, 4)
+    return out
 
 
 def bench_oracle() -> float:
@@ -144,7 +169,7 @@ def main():
     from tpu_unsup_pc.configs import presets
 
     try:
-        ours = bench_jax(use_pallas=True)
+        res = bench_jax(use_pallas=True)
         path = _which_path(presets.get("c1_synth").replace(use_pallas=True))
     except Exception:
         # the fallback must be LOUD: print the Pallas failure to stderr and
@@ -152,8 +177,11 @@ def main():
         print("bench: Pallas path FAILED, falling back to XLA:",
               file=sys.stderr)
         traceback.print_exc()
-        ours = bench_jax(use_pallas=False)
+        res = bench_jax(use_pallas=False)
         path = "xla_fallback"
+    if isinstance(res, (int, float)):          # test monkeypatch convenience
+        res = {"value": float(res)}
+    ours = res["value"]
     try:
         base = bench_oracle()
     except Exception:
@@ -165,6 +193,14 @@ def main():
         "unit": "points*views/s/chip (64^3 grid, 2k pts, B8xV5)",
         "vs_baseline": round(ours / PINNED_ORACLE, 2),
         "path": path,
+        # contention visibility (best-of-3 loops): worst-loop rate + cv
+        "value_worst": round(res["value_worst"], 1)
+        if "value_worst" in res else None,
+        "cv": res.get("cv"),
+        # MFU accounting: achieved MXU FLOP/s from the kernels' own cost
+        # model / V5E_PEAK_FLOPS (assumptions at the constant above)
+        "tflops": res.get("tflops"),
+        "mfu": res.get("mfu"),
         "oracle_live": round(base, 1) if base == base else None,
         "vs_oracle_live": live,
     }))

@@ -34,6 +34,31 @@ def test_path_tag_present(monkeypatch, capsys):
     assert rec["vs_baseline"] == round(1e7 / bench.PINNED_ORACLE, 2)
 
 
+def test_spread_and_mfu_fields(monkeypatch, capsys):
+    """VERDICT r4 weak #3 / missing #4: the JSON carries the best-of-3
+    spread (value_worst, cv) and the cost-model MFU fields so a contended
+    BENCH_r0N is distinguishable from a regression and the roofline claim
+    is auditable from the artifact."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "bench_jax", lambda use_pallas: {
+        "value": 2.5e7, "value_worst": 2.3e7, "cv": 0.03,
+        "tflops": 40.0, "mfu": 0.2})
+    monkeypatch.setattr(bench, "bench_oracle", lambda: 4e4)
+    rec, _ = _run_main(bench, capsys)
+    assert rec["value"] == 2.5e7 and rec["value_worst"] == 2.3e7
+    assert rec["cv"] == 0.03
+    assert rec["tflops"] == 40.0 and rec["mfu"] == 0.2
+
+
+def test_mfu_cost_model_single_source():
+    """The bench MFU must come from the kernel's own cost model."""
+    from tpu_unsup_pc.ops.pallas.render_kernel import fused_mse_train_flops
+    # 6*N*D^3 per pair dense; banded shrinks depth extent to the band
+    assert fused_mse_train_flops(1, 2048, 64) == 6 * 2048 * 64 ** 3
+    assert fused_mse_train_flops(10, 8192, 256, band=56) \
+        == 6 * 10 * 8192 * 56 * 256 * 256
+
+
 def test_pallas_failure_flips_tag_and_is_loud(monkeypatch, capsys):
     bench = _load_bench()
 

@@ -27,7 +27,8 @@ from tpu_unsup_pc.ops import project as project_mod
 def test_c4xl_preset_validates():
     cfg = presets.get("c4xl_synth")
     assert cfg.vox_size == 256 and cfg.image_size == 256
-    assert cfg.pallas_band == 56
+    from tpu_unsup_pc.ops.pallas.render_kernel import AUTO_BAND
+    assert cfg.pallas_band == AUTO_BAND == 56
     # two extra encoder stages keep the conv stack at a 4x4 final map
     assert len(cfg.enc_channels) == 6
 

@@ -574,6 +574,59 @@ def test_onepass_rgb_mse_matches_twopass(rng):
         check_grad(c1, c2, f"onepass_rgb_dcolors{tag}")
 
 
+def test_onepass_rgb_ct_nonproportional_boundary(rng):
+    """Fence for the one-pass ct-proportionality contract (VERDICT r4
+    weak #6): the kernel's backward rescales its stored ct-weighted
+    Jacobian by the PER-PAIR scalar gsse/ct, which is exact iff the
+    downstream loss is (pairwise-proportional to) sum(ct * sse). A loss
+    that weights the sil and rgb columns in a DIFFERENT ratio than ct
+    violates the contract — this test pins that boundary by asserting the
+    one-pass gradient visibly DISAGREES with the two-kernel op there
+    (if this ever starts passing, the kernel grew real two-column
+    Jacobians and losses.py's call-site restriction can be lifted)."""
+    from tpu_unsup_pc.ops.pallas.render_kernel import (
+        render_drc_rgb_mse_onepass, render_drc_rgb_mse_pallas_soa)
+    B, S, V, K = 2, 1, 2, 1
+    Pn = B * S * V * K
+    g = jnp.asarray(rng.uniform(-1, D, size=(Pn, N, 3)).astype(np.float32))
+    c = jnp.asarray(rng.uniform(size=(Pn, N, 3)).astype(np.float32))
+    sigma = jnp.asarray(rng.uniform(0.8, 1.6, size=(Pn,))
+                        .astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(B * V, D, D)) > 0.5)
+                        .astype(np.float32))
+    imgs = jnp.asarray(rng.uniform(size=(B * V, 3, D, D))
+                       .astype(np.float32))
+    ps = (B, S, V, K)
+    ct = jnp.asarray(rng.uniform(0.1, 2.0, size=(Pn, 2))
+                     .astype(np.float32))
+    # non-proportional downstream weights: scale the rgb column 5x
+    # relative to what ct promised the kernel
+    w = jnp.asarray([[1.0, 5.0]], jnp.float32) * ct
+
+    def one(gg):
+        sse = render_drc_rgb_mse_onepass(*_soa(gg), *_soa(c), sigma,
+                                         masks, imgs, ct, ps, D,
+                                         RADIUS, CHUNK)
+        return jnp.sum(sse * w)
+
+    def two(gg):
+        sse = render_drc_rgb_mse_pallas_soa(*_soa(gg), *_soa(c),
+                                            sigma, masks, imgs, ps, D,
+                                            RADIUS, CHUNK)
+        return jnp.sum(sse * w)
+
+    # values still agree (the forward doesn't depend on ct's promise)
+    check_fwd(float(one(g)), float(two(g)), "ct_boundary_value")
+    g1 = jax.grad(one)(g)
+    g2 = jax.grad(two)(g)
+    rel = float(jnp.max(jnp.abs(g1 - g2)) / jnp.max(jnp.abs(g2)))
+    assert rel > 0.05, (
+        f"one-pass gradient unexpectedly matched the two-kernel op under "
+        f"a non-proportional loss (max rel diff {rel:.4f}) — if the "
+        "kernel now emits true two-column Jacobians, update this fence "
+        "and lift the losses.py call-site restriction")
+
+
 # ------------------------------------------------------- depth-banded MSE
 
 def _banded_refs(rng, Dg, Np, Pn, z_lo, z_hi):

@@ -57,6 +57,9 @@ def main(argv=None):
     p.add_argument("--radius", type=int, default=13)
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args(argv)
+    assert args.pairs % 5 == 0, (
+        f"--pairs {args.pairs} must be a multiple of 5: the mask batch is "
+        "built as (pairs//5, 5) source x view pairs")
 
     import jax
     import jax.numpy as jnp

@@ -100,10 +100,11 @@ def main(argv=None):
     dataset = make_dataset(cfg, split=args.split,
                            num_models=args.num_models)
     n = min(args.num_models, len(dataset))
-    gt_az = np.stack([dataset.get_batch(np.arange(i, i + 1))["azimuth"][0]
-                      for i in range(n)])
-    gt_el = np.stack([dataset.get_batch(np.arange(i, i + 1))["elevation"][0]
-                      for i in range(n)])
+    # one batched fetch (ADVICE r4): n unit-batch get_batch calls re-enter
+    # device code per call — needlessly slow through the TPU tunnel
+    gt = dataset.get_batch(np.arange(n))
+    gt_az = np.asarray(gt["azimuth"])
+    gt_el = np.asarray(gt["elevation"])
 
     names, all_poses, all_scores, per_model = [], [], [], {}
     for spec in args.models:

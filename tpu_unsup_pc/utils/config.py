@@ -145,9 +145,11 @@ class Config:
     # kernels compose with SPMD batch sharding on the virtual CPU mesh
     force_fused: bool = False
     pallas_bf16: bool = False      # bf16 MXU inputs in the fused render
-    # depth-band width for the fused render+MSE kernel: -1/0 dense (the
-    # measured default — the depth-sort wrapper costs more than banding
-    # saves on TPU, see render_drc_mse_auto), else a multiple of 8
+    # depth-band width for the fused render+MSE kernel: -1 AUTO (dense at
+    # <=128^3 where the depth-sort wrapper costs more than banding saves,
+    # banded at >=192^3 where the measured crossover flips — see
+    # render_drc_mse_auto / render_kernel.AUTO_BAND), 0 FORCES dense at
+    # any grid, else an explicit band width (positive multiple of 8)
     pallas_band: int = -1
     # one-pass value+gradient render+MSE kernels (render_drc_mse_onepass):
     # value_and_grad runs ONE rematerializing kernel instead of fwd + bwd
@@ -215,6 +217,15 @@ class Config:
             self.pallas_band % 8 == 0 and self.pallas_band > 0), (
             f"pallas_band={self.pallas_band} must be -1, 0, or a positive "
             "multiple of 8")
+        # only the silhouette path gained the D>=192 auto-banded kernel;
+        # the fused RGB kernels (one-pass and two-kernel) keep the dense
+        # (chunk, D*HT) VMEM profile that measured pathological at 256^3
+        # (907ms/10 pairs for the sil one-pass) and are untested for
+        # Mosaic acceptance at those grids (ADVICE r4)
+        assert not (self.predict_rgb and self.vox_size >= 192), (
+            f"predict_rgb at vox_size={self.vox_size} is unsupported: the "
+            "fused RGB render has no depth-banded large-grid variant yet "
+            "(measured regime ends at 128^3); use vox_size<=128 for RGB")
         assert self.sigma_schedule in ("exp", "linear", "const")
         for name in filter(None, self.freeze.split(",")):
             assert name in ("encoder", "decoder", "pose_head"), (
