@@ -627,6 +627,62 @@ def test_onepass_rgb_ct_nonproportional_boundary(rng):
         "and lift the losses.py call-site restriction")
 
 
+def test_onepass2_rgb_matches_twopass(rng):
+    """Two-column-Jacobian one-pass RGB kernel == the two-kernel op with
+    NO proportionality requirement: values and coord/color gradients
+    under (a) a non-proportional per-pair two-column weighting and (b)
+    an argmin + take_along_axis candidate selection — the exact
+    downstream structure of the pose-ensemble branch that excludes the
+    ct kernel. Kernel-vs-kernel, no ref_precision."""
+    from tpu_unsup_pc.ops.pallas.render_kernel import (
+        render_drc_rgb_mse_onepass2, render_drc_rgb_mse_pallas_soa)
+    B, S, V, K = 2, 1, 2, 2
+    Pn = B * S * V * K
+    g = jnp.asarray(rng.uniform(-1, D, size=(Pn, N, 3)).astype(np.float32))
+    c = jnp.asarray(rng.uniform(size=(Pn, N, 3)).astype(np.float32))
+    sigma = jnp.asarray(rng.uniform(0.8, 1.6, size=(Pn,))
+                        .astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(B * V, D, D)) > 0.5)
+                        .astype(np.float32))
+    imgs = jnp.asarray(rng.uniform(size=(B * V, 3, D, D))
+                       .astype(np.float32))
+    ps = (B, S, V, K)
+    # (a) arbitrary non-proportional weights with distinct columns
+    w = jnp.asarray(rng.uniform(0.1, 2.0, size=(Pn, 2))
+                    .astype(np.float32))
+
+    def loss_weighted(render):
+        def f(gg, cc):
+            sse = render(*_soa(gg), *_soa(cc), sigma, masks, imgs, ps,
+                         D, RADIUS, CHUNK)
+            return jnp.sum(sse * w)
+        return f
+
+    # (b) the pose-ensemble downstream: per-(b,s,v) argmin over K of the
+    # combined column loss, then take_along_axis — cotangents land only
+    # on the selected candidates, in a data-dependent pattern
+    def loss_argmin(render):
+        def f(gg, cc):
+            sse = render(*_soa(gg), *_soa(cc), sigma, masks, imgs, ps,
+                         D, RADIUS, CHUNK).reshape(B, S, V, K, 2)
+            pair = sse[..., 0] / (D * D) + 0.7 * sse[..., 1]
+            best = jnp.argmin(pair, axis=-1)                  # (B,S,V)
+            sel = jnp.take_along_axis(pair, best[..., None],
+                                      axis=-1)[..., 0]
+            return jnp.mean(sel)
+        return f
+
+    for tag, mk in (("weighted", loss_weighted), ("argmin", loss_argmin)):
+        one = mk(render_drc_rgb_mse_onepass2)
+        two = mk(render_drc_rgb_mse_pallas_soa)
+        check_fwd(float(one(g, c)), float(two(g, c)),
+                  f"onepass2_rgb_value_{tag}")
+        g1, c1 = jax.grad(one, argnums=(0, 1))(g, c)
+        g2, c2 = jax.grad(two, argnums=(0, 1))(g, c)
+        check_grad(g1, g2, f"onepass2_rgb_dcoords_{tag}")
+        check_grad(c1, c2, f"onepass2_rgb_dcolors_{tag}")
+
+
 # ------------------------------------------------------- depth-banded MSE
 
 def _banded_refs(rng, Dg, Np, Pn, z_lo, z_hi):

@@ -60,6 +60,10 @@ def main(argv=None):
     p.add_argument("--preset", default="c1_synth")
     p.add_argument("--use-pallas", action="store_true", default=True)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="KEY=VALUE",
+                   help="config overrides, e.g. --set predict_rgb=True "
+                        "(same syntax as train.py)")
     p.add_argument("--trace-dir", default=None,
                    help="also capture a jax.profiler trace of 5 full steps")
     p.add_argument("--out", default=None)
@@ -73,6 +77,7 @@ def main(argv=None):
     from tpu_unsup_pc.ops.project import render_sse_fused
 
     cfg = presets.get(args.preset).replace(use_pallas=args.use_pallas)
+    cfg = presets.apply_overrides(cfg, args.overrides)
     B, V, N = cfg.batch_size, cfg.num_views, cfg.pc_num_points
     S = cfg.source_views or V
     rng = np.random.default_rng(0)
@@ -112,28 +117,49 @@ def main(argv=None):
     pts = jnp.asarray(rng.uniform(-0.4, 0.4, (B, S, N, 3)), jnp.float32)
     sig = jnp.full((B, S), 1.0, jnp.float32)
 
+    # Pair shapes exactly as the loss drives them: the pose ensemble
+    # renders K candidates per (source, target) pair — quats (B, V, K, 4)
+    # — while known pose has K=1. The candidate axis multiplies the
+    # kernel's flat pair count P = B*S*V*K.
+    K = cfg.pose_candidates if cfg.predict_pose else 1
+    if cfg.predict_pose:
+        q = rng.normal(size=(B, V, K, 4)).astype(np.float32)
+        quats = jnp.asarray(q / np.linalg.norm(q, axis=-1, keepdims=True))
+        dists = jnp.full((B, V, K), cfg.camera_distance, jnp.float32)
+    else:
+        quats = cams.quat[:, :, None]
+        dists = cams.distance[:, :, None]
+
     # Time the SAME fused kernel the loss path uses — the RGB variant for
     # predict_rgb presets (r3 fix: timing the sil-only kernel at c5 shapes
-    # misattributed the RGB kernel's extra cost to "loss_glue").
+    # misattributed the RGB kernel's extra cost to "loss_glue"), and for
+    # the pose ensemble the NO-ct two-kernel RGB op (argmin-dependent
+    # cotangents exclude the ct one-pass kernel — render_kernel.py
+    # contract; the gate for VERDICT r4 missing #5 is this share).
     if cfg.predict_rgb:
         from tpu_unsup_pc.ops.project import render_sse_rgb_fused
         cols = jnp.asarray(rng.uniform(0, 1, (B, S, N, 3)), jnp.float32)
-        # ct routes through the one-pass kernel exactly like the
-        # known-pose c5 loss (loss written as sum(ct * sse))
-        ct = jnp.full((B, S, V, 1, 2), 0.1, jnp.float32)
+        if cfg.predict_pose:
+            def render_loss(pts_, cols_):
+                sse = render_sse_rgb_fused(
+                    pts_, cols_, quats, dists, sig, batch["mask"],
+                    batch["image"], cfg)          # no ct -> two-kernel
+                return jnp.mean(sse)
+        else:
+            # ct routes through the one-pass kernel exactly like the
+            # known-pose c5 loss (loss written as sum(ct * sse))
+            ct = jnp.full((B, S, V, 1, 2), 0.1, jnp.float32)
 
-        def render_loss(pts_, cols_):
-            sse = render_sse_rgb_fused(
-                pts_, cols_, cams.quat[:, :, None],
-                cams.distance[:, :, None], sig, batch["mask"],
-                batch["image"], cfg, ct=ct)
-            return jnp.sum(sse * ct)
+            def render_loss(pts_, cols_):
+                sse = render_sse_rgb_fused(
+                    pts_, cols_, quats, dists, sig, batch["mask"],
+                    batch["image"], cfg, ct=ct)
+                return jnp.sum(sse * ct)
 
         render_args = (pts, cols)
     else:
         def render_loss(pts_):
-            sse = render_sse_fused(pts_, cams.quat[:, :, None],
-                                   cams.distance[:, :, None], sig,
+            sse = render_sse_fused(pts_, quats, dists, sig,
                                    batch["mask"], cfg)
             return jnp.mean(sse)
 
@@ -157,11 +183,40 @@ def main(argv=None):
             jax.block_until_ready(s.params)
 
     ppv = B * S * V * N
+    # MFU from the kernels' own matmul cost model (single source:
+    # render_kernel.fused_*_train_flops; peak assumption documented at
+    # bench.V5E_PEAK_FLOPS / BASELINE.md). kernel_mfu divides by the
+    # render_grad time (the fused-kernel launch alone), e2e_mfu by the
+    # full step — the product of kernel share and kernel MFU.
+    mfu = {}
+    if cfg.use_pallas and "render_grad" in res:
+        import bench
+        from tpu_unsup_pc.ops.pallas.render_kernel import (
+            AUTO_BAND, fused_mse_train_flops, fused_rgb_mse_train_flops)
+        P_pairs = B * S * V * K
+        n_pad = N + ((-N) % cfg.point_chunk)
+        if cfg.predict_rgb:
+            mode = "twokernel" if not cfg.pallas_onepass else (
+                "onepass2" if cfg.predict_pose else "onepass_ct")
+            flops = fused_rgb_mse_train_flops(P_pairs, n_pad,
+                                              cfg.vox_size, mode)
+        else:
+            band = cfg.pallas_band if cfg.pallas_band > 0 else (
+                AUTO_BAND if cfg.pallas_band < 0 and cfg.vox_size >= 192
+                else 0)
+            flops = fused_mse_train_flops(P_pairs, n_pad, cfg.vox_size,
+                                          band)
+        mfu = {"kernel_tflops": round(flops / res["render_grad"] / 1e12, 2),
+               "kernel_mfu": round(flops / res["render_grad"]
+                                   / bench.V5E_PEAK_FLOPS, 4),
+               "e2e_mfu": round(flops / res["full"]
+                                / bench.V5E_PEAK_FLOPS, 4)}
     report = {
-        "preset": args.preset, "shapes": {"B": B, "S": S, "V": V, "N": N,
-                                          "D": cfg.vox_size},
+        "preset": args.preset, "shapes": {"B": B, "S": S, "V": V, "K": K,
+                                          "N": N, "D": cfg.vox_size},
         "ms": {k: round(v * 1e3, 3) for k, v in res.items()},
         "e2e_points_views_per_sec": round(ppv / res["full"], 1),
+        **mfu,
         "attribution_ms": {
             "render": round(res.get("render_grad", float("nan")) * 1e3, 3),
             "nets_bwd": round(res["model_fwd_bwd"] * 1e3, 3),

@@ -36,6 +36,13 @@ probes the WHOLE initial pool, carries the top --carry takeoff seeds
 through phases 2 AND 3, and selects on phase-3 val best — the first
 point where basin quality is actually observable. Every stage is
 cached on disk, so re-runs and extensions only pay for new work.
+
+Carried seeds run their phases to FULL depth — no val-trend early
+stopping. Measured offline (r5, docs/pose_training.md "Recipe
+wall-clock"): the committed winner's own val trajectory swings −0.14
+mid-phase-4 before finishing at its global best, so any drop margin
+tight enough to save time also drops winners; and val-best lands at
+the final step in 2 of 4 stages, so there is no wasted tail to trim.
 """
 
 from __future__ import annotations

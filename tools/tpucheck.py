@@ -34,8 +34,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #   splat fwd, splat bwd, race contract (all-points-one-cell), RGB splat;
 #   fused sil render, fused render+MSE, two-kernel RGB+MSE, one-pass sil
 #   MSE, one-pass sigma Jacobian (predict_scale contract), one-pass RGB
-#   MSE, e2e predict_scale loss path, banded kernel, banded auto-dispatch
-#   (lax.cond both branches).
+#   MSE, two-column-Jacobian one-pass RGB (pose-ensemble path, argmin
+#   downstream), e2e predict_scale loss path, banded kernel, banded
+#   auto-dispatch (lax.cond both branches).
 KERNEL_SUBSET = [
     "tests/test_pallas_kernel.py::test_forward_matches_separable",
     "tests/test_pallas_kernel.py::test_backward_matches_separable",
@@ -47,6 +48,7 @@ KERNEL_SUBSET = [
     "tests/test_render_kernel.py::test_onepass_mse_matches_twopass",
     "tests/test_render_kernel.py::test_onepass_sigma_grad",
     "tests/test_render_kernel.py::test_onepass_rgb_mse_matches_twopass",
+    "tests/test_render_kernel.py::test_onepass2_rgb_matches_twopass",
     "tests/test_render_kernel.py::test_predict_scale_fused_matches_unfused",
     "tests/test_render_kernel.py::test_banded_mse_matches_dense",
     "tests/test_render_kernel.py::test_banded_auto_dispatch",

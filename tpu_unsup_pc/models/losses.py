@@ -213,6 +213,10 @@ def compute_loss(cfg: Config, output: ModelOutput, batch: dict,
 
     rgb_pair = None
     if fuse_rgb:
+        # no ct (the argmin below makes the per-pair cotangents data-
+        # dependent): with pallas_onepass this dispatches the two-column
+        # -Jacobian one-pass kernel (render_drc_rgb_mse_onepass2), whose
+        # backward is exact under candidate selection
         sse = render_sse_rgb_fused(points, rgb, cand, dist, sigma_src,
                                    batch["mask"], batch["image"],
                                    cfg)                      # (B,S,V,K,2)

@@ -1347,6 +1347,24 @@ def fused_mse_train_flops(pairs: int, n_padded: int, vox_size: int,
     return 6 * pairs * n_padded * depth * vox_size * vox_size
 
 
+def fused_rgb_mse_train_flops(pairs: int, n_padded: int, vox_size: int,
+                              mode: str) -> int:
+    """MXU FLOPs for ONE value_and_grad of the fused RGB render+MSE path
+    (companion of fused_mse_train_flops; same conventions, MXU work only).
+
+    Per pair the 4-grid lane-packed contractions cost, in units of
+    N*D^3 (N = n_padded):
+      accumulate  p_raw (chunk, D*HT) @ wk4 (chunk, 4D)      -> 8
+      grad chunks d_ww4 = p_raw @ cot4, d_p = ww4 @ cot4^T   -> 8 + 8
+      sil-column grad (narrow D-wide cotangent, onepass2)    -> 2 + 2
+    mode: "onepass_ct" = accumulate + grad = 24;
+          "onepass2"   = accumulate + grad + sil grad = 28;
+          "twokernel"  = fwd (accumulate, 8) + bwd (accumulate again +
+          grad, 24) = 32 — the bwd rematerializes the grids in-kernel."""
+    unit = pairs * n_padded * vox_size ** 3
+    return {"onepass_ct": 24, "onepass2": 28, "twokernel": 32}[mode] * unit
+
+
 def render_drc_mse_auto(gz, gy, gx, sigma, masks, pair_shape: tuple,
                         vox_size: int, radius: int = 13, chunk: int = 512,
                         bf16: bool = False,
@@ -1814,3 +1832,271 @@ def _rgb_mse_onepass_vjp_bwd(pair_shape, vox_size, radius, chunk, bf16,
 
 render_drc_rgb_mse_onepass.defvjp(_rgb_mse_onepass_vjp_fwd,
                                   _rgb_mse_onepass_vjp_bwd)
+
+
+# ===================================================================
+# ONE-PASS RGB render + MSE with TWO-COLUMN UNSCALED Jacobians — the
+# pose-ensemble fast path (VERDICT r4 missing #5). The ct-weighted
+# kernel above needs the per-pair loss coefficients at FORWARD time,
+# which the pose branch cannot provide (its cotangents depend on the
+# argmin over the very sse this kernel computes). Instead this variant
+# emits the two columns' Jacobians separately and the custom VJP
+# combines them under the true cotangents:
+#     dL/dcoord = gsse[:,0]*J_sil + gsse[:,1]*J_rgb
+#     dL/dcolor = gsse[:,1]*J_rgb_color          (J_sil_color == 0:
+#                 the silhouette does not depend on colors)
+# — exact for ANY downstream loss, argmin selection included (same
+# argument as render_drc_mse_onepass).
+#
+# Why this beats the two-kernel op (per pair, units of N*D^3 MXU work):
+#     two-kernel:  fwd accumulate 8 + bwd (accumulate 8 + packed grad
+#                  contractions 16) = 32, with THREE exp evaluations of
+#                  the chunk weights (fwd, bwd-rematerialize, grad) and
+#                  two kernel launches reading the operands twice.
+#     this kernel: accumulate 8 + RGB-column grad 16 + SIL-column grad
+#                  4 (the sil cotangent is one D-wide grid, not the
+#                  4D-wide pack) = 28, ONE launch, TWO exp evaluations
+#                  (accumulate + one merged grad-chunk loop that feeds
+#                  both columns' contractions from the same weights).
+# The sil-column occupancy cotangent has the closed form of the
+# sil-only kernel (2*err_s*trans_total/(1-v)*[v<1-eps]) — no second
+# reverse sweep needed; the RGB column runs _rgb_rev_sweep with a zero
+# silhouette seed.
+# ===================================================================
+
+def _rgb_grad_chunks2(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
+                      dgz_s_ref, dgy_s_ref, dgx_s_ref, dgz_r_ref,
+                      dgy_r_ref, dgx_r_ref, dcr_ref, dcg_ref, dcb_ref,
+                      cot4_s, cot_sil_s, inv2s2, h0, D, HT, radius,
+                      chunk, bf16):
+    """Merged grad-chunk loop: per chunk, compute the Gaussian weights
+    ONCE and contract them against BOTH cotangent grids — the packed
+    (D*HT, 4D) RGB-column cotangents (identities as _rgb_grad_chunks)
+    and the narrow (D*HT, D) sil-column cotangent (identities as the
+    sil one-pass chunk body)."""
+    inv_s2 = 2.0 * inv2s2
+    n_chunks = gz_ref.shape[2] // chunk
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        gz = gz_ref[0, 0, sl]
+        gy_full = gy_ref[0, 0, sl]
+        gx = gx_ref[0, 0, sl]
+        gy = gy_full - h0
+        vals = (cr_ref[0, 0, sl], cg_ref[0, 0, sl], cb_ref[0, 0, sl])
+        p_raw, dzd, dyd = _pair_weight(gz, gy, inv2s2, D, HT)
+        zz, dlzz = _log_norm(gz, inv2s2, radius)
+        zy, dlzy = _log_norm(gy_full, inv2s2, radius)
+        zx, dlzx = _log_norm(gx, inv2s2, radius)
+        ww_raw, dxd = _axis_weight(gx, inv2s2, D)
+        ww = ww_raw / (zz * zy * zx)[:, None]
+
+        # ---- RGB column: packed 4-grid cotangent ----
+        cot4 = cot4_s[...]
+        d_ww4 = _dot(p_raw, cot4, (((1,), (0,)), ((), ())), bf16)
+        ww_t4 = jnp.concatenate([ww] * 4, axis=1)
+        prod = d_ww4 * ww_t4                       # (chunk, 4W)
+        dcr_ref[0, 0, sl] += jnp.sum(prod[:, D:2 * D], axis=1)
+        dcg_ref[0, 0, sl] += jnp.sum(prod[:, 2 * D:3 * D], axis=1)
+        dcb_ref[0, 0, sl] += jnp.sum(prod[:, 3 * D:4 * D], axis=1)
+        ones = jnp.ones_like(ww)
+        val4 = jnp.concatenate(
+            [ones] + [vals[k][:, None] * ones for k in range(3)], axis=1)
+        pv = prod * val4
+        dwsum_r = jnp.sum(pv, axis=1)
+        dx_term = jnp.sum(pv * jnp.concatenate([dxd] * 4, axis=1), axis=1)
+        ww4 = ww_t4 * val4
+        d_p = _dot(ww4, cot4, (((1,), (1,)), ((), ())), bf16)
+        pd = d_p * p_raw
+        dgz_r_ref[0, 0, sl] += (jnp.sum(pd * dzd, axis=1) * inv_s2) \
+            - dlzz * dwsum_r
+        dgy_r_ref[0, 0, sl] += (jnp.sum(pd * dyd, axis=1) * inv_s2) \
+            - dlzy * dwsum_r
+        dgx_r_ref[0, 0, sl] += (dx_term * inv_s2) - dlzx * dwsum_r
+
+        # ---- SIL column: narrow occupancy cotangent ----
+        cot1 = cot_sil_s[...]
+        d_ww1 = _dot(p_raw, cot1, (((1,), (0,)), ((), ())), bf16)
+        d_p1 = _dot(ww, cot1, (((1,), (1,)), ((), ())), bf16)
+        pd1 = d_p1 * p_raw
+        dww_w = d_ww1 * ww
+        dwsum_s = jnp.sum(dww_w, axis=1)
+        dgz_s_ref[0, 0, sl] += (jnp.sum(pd1 * dzd, axis=1) * inv_s2) \
+            - dlzz * dwsum_s
+        dgy_s_ref[0, 0, sl] += (jnp.sum(pd1 * dyd, axis=1) * inv_s2) \
+            - dlzy * dwsum_s
+        dgx_s_ref[0, 0, sl] += (jnp.sum(dww_w * dxd, axis=1) * inv_s2) \
+            - dlzx * dwsum_s
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _rgb_mse_onepass2_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref,
+                                 cr_ref, cg_ref, cb_ref, mask_ref,
+                                 imgt_ref, sse_ref, dgz_s_ref, dgy_s_ref,
+                                 dgx_s_ref, dgz_r_ref, dgy_r_ref,
+                                 dgx_r_ref, dcr_ref, dcg_ref, dcb_ref,
+                                 packed_s, occ_s, r_s, g_s, b_s, t_s,
+                                 cot_sil_s, *, D, HT, radius, chunk,
+                                 bf16):
+    p = pl.program_id(0)
+    ht = pl.program_id(1)
+    sigma = sigma_ref[0, p]
+    inv2s2 = 0.5 / (sigma * sigma)
+    h0 = (ht * HT).astype(jnp.float32)
+
+    @pl.when(ht == 0)
+    def _():
+        for ref in (dgz_s_ref, dgy_s_ref, dgx_s_ref, dgz_r_ref,
+                    dgy_r_ref, dgx_r_ref, dcr_ref, dcg_ref, dcb_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    packed_s[...] = jnp.zeros_like(packed_s)
+    _accumulate_rgb_packed(packed_s, gz_ref, gy_ref, gx_ref, cr_ref,
+                           cg_ref, cb_ref, sigma, D, HT, radius, chunk,
+                           h0, bf16)
+    _unpack4(packed_s, occ_s, r_s, g_s, b_s, D)
+
+    def fwd_sweep(d, carry):
+        trans, img = carry
+        sl = pl.ds(d * HT, HT)
+        t_s[sl, :] = trans
+        raw = occ_s[sl, :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        w = v * trans
+        denom = jnp.maximum(raw, _ONORM_EPS)
+        img = img + jnp.stack([
+            w * r_s[sl, :] / denom,
+            w * g_s[sl, :] / denom,
+            w * b_s[sl, :] / denom])
+        return trans * (1.0 - v), img
+
+    trans, img = jax.lax.fori_loop(
+        0, D, fwd_sweep, (jnp.ones((HT, D), jnp.float32),
+                          jnp.zeros((3, HT, D), jnp.float32)))
+    mask = mask_ref[0]
+    err_s = (1.0 - trans) - mask
+    err_i = img - imgt_ref[0]
+    sse_ref[...] = jnp.zeros_like(sse_ref)
+    sse_ref[0, 0, 0, :] = jnp.sum(err_s * err_s, axis=0)
+    sse_ref[0, 0, 1, :] = jnp.sum(jnp.sum(err_i * err_i, axis=0) * mask,
+                                  axis=0)
+
+    # SIL-column occupancy cotangent, closed form (cf. the sil one-pass
+    # kernel's fill_cot): gt = 2*err_s*trans_total, cot[d] =
+    # gt/(1-v_d)*[raw_d < 1-eps]. UNSCALED seed (gsse_sil = 1).
+    gt = 2.0 * err_s * trans
+
+    def fill_cot(d, _):
+        sl = pl.ds(d * HT, HT)
+        raw = occ_s[sl, :]
+        v = jnp.clip(raw, 0.0, 1.0 - _EPS)
+        keep = (raw < 1.0 - _EPS).astype(jnp.float32)
+        cot_sil_s[sl, :] = gt / (1.0 - v) * keep
+        return 0
+
+    jax.lax.fori_loop(0, D, fill_cot, 0)
+
+    # RGB column: reverse sweep with a ZERO silhouette seed and the
+    # unscaled image cotangent (gsse_rgb = 1)
+    gimg = 2.0 * err_i * mask[None]
+    _rgb_rev_sweep(occ_s, r_s, g_s, b_s, t_s,
+                   jnp.zeros((HT, D), jnp.float32), gimg, D, HT)
+    _pack4(packed_s, occ_s, r_s, g_s, b_s, D)
+    _rgb_grad_chunks2(gz_ref, gy_ref, gx_ref, cr_ref, cg_ref, cb_ref,
+                      dgz_s_ref, dgy_s_ref, dgx_s_ref, dgz_r_ref,
+                      dgy_r_ref, dgx_r_ref, dcr_ref, dcg_ref, dcb_ref,
+                      packed_s, cot_sil_s, inv2s2, h0, D, HT, radius,
+                      chunk, bf16)
+
+
+def _run_rgb_mse_onepass2_soa(gz, gy, gx, cr, cg, cb, sigma, masks,
+                              images, S, V, K, D, radius, chunk, bf16):
+    P, N = gz.shape
+    HT = _h_tile_rgb(D)
+    chunk = _chunk_budget(D, HT, chunk, live=14,
+                          reserve=10 * D * HT * D * 4,
+                          budget=56 * 2 ** 20)
+    ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
+    spec = pl.BlockSpec((1, 1, N), lambda p, h: (p, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((P, 1, N), jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_rgb_mse_onepass2_kernel_soa, D=D, HT=HT,
+                          radius=radius, chunk=chunk, bf16=bf16),
+        grid=(P, D // HT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 6 + [
+            pl.BlockSpec((1, HT, D), _mask_index_map(S, V, K),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, HT, D), _imgt_index_map(S, V, K),
+                         memory_space=pltpu.VMEM)],
+        out_specs=tuple([pl.BlockSpec((1, 1, 8, D),
+                                      lambda p, h: (p, h, 0, 0),
+                                      memory_space=pltpu.VMEM)]
+                        + [spec] * 9),
+        out_shape=tuple([jax.ShapeDtypeStruct((P, D // HT, 8, D),
+                                              jnp.float32)] + [shp] * 9),
+        scratch_shapes=[pltpu.VMEM((D * HT, 4 * D), jnp.float32)]
+                       + [pltpu.VMEM((D * HT, D), jnp.float32)
+                          for _ in range(6)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=28 * P * N * D * D * D,
+            bytes_accessed=P * (N * 60 + D * D * 16),
+            transcendentals=2 * P * N * (D * D + D)),
+        interpret=_interpret(),
+    )(sigma.reshape(1, P), *ops, masks, images)
+    sse = jnp.sum(outs[0], axis=(1, 3))[:, :2]            # (P, 2)
+    return (sse,) + tuple(o.reshape(P, N) for o in outs[1:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def render_drc_rgb_mse_onepass2(gz, gy, gx, cr, cg, cb, sigma, masks,
+                                images, pair_shape: tuple,
+                                vox_size: int, radius: int = 13,
+                                chunk: int = 512,
+                                bf16: bool = False) -> jnp.ndarray:
+    """One-pass fused RGB render + squared-errors + two-column Jacobian.
+
+    Same contract and return value as render_drc_rgb_mse_pallas_soa —
+    (P, 2) sse, differentiable w.r.t. coords and colors, zero cotangents
+    for sigma/masks/images — but value_and_grad runs ONE kernel, and
+    unlike render_drc_rgb_mse_onepass there is NO ct-proportionality
+    requirement: the backward combines the separately-emitted sil and
+    RGB Jacobian columns under the true incoming cotangents, exact for
+    any downstream loss (argmin candidate selection included). This is
+    the pose-ensemble RGB training path; value-only callers should
+    prefer the two-kernel op (this one always pays the gradient
+    contractions)."""
+    out = _run_rgb_mse_onepass2_soa(gz, gy, gx, cr, cg, cb, sigma, masks,
+                                    images, *pair_shape[1:], vox_size,
+                                    radius, chunk, bf16)
+    return out[0]
+
+
+def _rgb_mse_onepass2_vjp_fwd(gz, gy, gx, cr, cg, cb, sigma, masks,
+                              images, pair_shape, vox_size, radius,
+                              chunk, bf16):
+    out = _run_rgb_mse_onepass2_soa(gz, gy, gx, cr, cg, cb, sigma, masks,
+                                    images, *pair_shape[1:], vox_size,
+                                    radius, chunk, bf16)
+    return out[0], (out[1:], sigma, masks, images)
+
+
+def _rgb_mse_onepass2_vjp_bwd(pair_shape, vox_size, radius, chunk, bf16,
+                              res, gsse):
+    (jz_s, jy_s, jx_s, jz_r, jy_r, jx_r, jcr, jcg, jcb), sigma, masks, \
+        images = res
+    g_s = gsse[:, 0, None]
+    g_r = gsse[:, 1, None]
+    return (g_s * jz_s + g_r * jz_r, g_s * jy_s + g_r * jy_r,
+            g_s * jx_s + g_r * jx_r, g_r * jcr, g_r * jcg, g_r * jcb,
+            jnp.zeros_like(sigma), jnp.zeros_like(masks),
+            jnp.zeros_like(images))
+
+
+render_drc_rgb_mse_onepass2.defvjp(_rgb_mse_onepass2_vjp_fwd,
+                                   _rgb_mse_onepass2_vjp_bwd)

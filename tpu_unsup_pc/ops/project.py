@@ -239,7 +239,8 @@ def render_sse_rgb_fused(points: jnp.ndarray, rgb: jnp.ndarray,
                          quats: jnp.ndarray, dists: jnp.ndarray,
                          sigma: jnp.ndarray, masks: jnp.ndarray,
                          images: jnp.ndarray, cfg: Config,
-                         ct: jnp.ndarray | None = None) -> jnp.ndarray:
+                         ct: jnp.ndarray | None = None,
+                         value_only: bool = False) -> jnp.ndarray:
     """Fused RGB render + squared errors for every (source, target
     [, candidate]) pair — the c5 training fast path.
 
@@ -255,13 +256,20 @@ def render_sse_rgb_fused(points: jnp.ndarray, rgb: jnp.ndarray,
         given (and cfg.pallas_onepass), the one-pass value+gradient
         kernel serves value_and_grad with a single launch; the caller's
         loss MUST be sum(ct * sse) (see render_drc_rgb_mse_onepass).
+        Without ct, cfg.pallas_onepass dispatches the two-column-
+        Jacobian one-pass kernel (exact for ANY downstream loss, argmin
+        selection included — render_drc_rgb_mse_onepass2).
+      value_only: scoring/eval callers that never differentiate should
+        pass True to get the forward-only two-kernel path instead of a
+        one-pass kernel that always pays its gradient contractions.
 
     Returns (B, S, V, K, 2): [..., 0] silhouette SSE, [..., 1] masked RGB
     SSE (sum_c (img_c - target_c)^2 * mask). Neither silhouettes nor
     composited images ever exist in HBM; masks/images stay compact
     (B*V, ...) deduplicated by the kernel's index_maps."""
     from tpu_unsup_pc.ops.pallas.render_kernel import (
-        render_drc_rgb_mse_onepass, render_drc_rgb_mse_pallas_soa)
+        render_drc_rgb_mse_onepass, render_drc_rgb_mse_onepass2,
+        render_drc_rgb_mse_pallas_soa)
     B, S, N = points.shape[:3]
     V, K = quats.shape[1], quats.shape[2]
     D = cfg.vox_size
@@ -297,6 +305,16 @@ def render_sse_rgb_fused(points: jnp.ndarray, rgb: jnp.ndarray,
             gz, gy, gx, cr, cg, cb, sigma_k, masks_c, images_c,
             ct.reshape(P, 2), (B, S, V, K), D, radius, cfg.point_chunk,
             cfg.pallas_bf16)
+    elif cfg.pallas_onepass and not value_only:
+        # no ct (argmin-dependent cotangents — the pose-ensemble RGB
+        # branch): the two-column-Jacobian one-pass kernel is exact for
+        # any downstream loss and runs value_and_grad in ONE launch.
+        # value_only=True (scoring/eval callers) opts out — the one-pass
+        # kernel always pays the gradient contractions (28 vs the
+        # two-kernel op's forward-only 8, units of N*D^3)
+        sse = render_drc_rgb_mse_onepass2(
+            gz, gy, gx, cr, cg, cb, sigma_k, masks_c, images_c,
+            (B, S, V, K), D, radius, cfg.point_chunk, cfg.pallas_bf16)
     else:
         sse = render_drc_rgb_mse_pallas_soa(
             gz, gy, gx, cr, cg, cb, sigma_k, masks_c, images_c,

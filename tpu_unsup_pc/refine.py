@@ -51,7 +51,8 @@ from tpu_unsup_pc.utils.config import Config
 
 
 def _pair_sse_multi(cfg: Config, points, quats, dists, sigma, masks,
-                    rgb=None, images=None, rgb_w: float = 1.0):
+                    rgb=None, images=None, rgb_w: float = 1.0,
+                    value_only: bool = False):
     """Multi-source SSE: every source cloud rendered into every (target
     view, init) pair. points (B,S,N,3), quats (B,V,C,4), dists (B,V,C),
     sigma (B,S), masks (B,V,H,W) -> (B,S,V,C). With rgb (B,S,N,3) +
@@ -64,7 +65,8 @@ def _pair_sse_multi(cfg: Config, points, quats, dists, sigma, masks,
     if fused_render_available(cfg, has_rgb=use_rgb):
         if use_rgb:
             sse = render_sse_rgb_fused(points, rgb, quats, dists, sigma,
-                                       masks, images, cfg)
+                                       masks, images, cfg,
+                                       value_only=value_only)
             return sse[..., 0] + rgb_w * sse[..., 1]
         return render_sse_fused(points, quats, dists, sigma, masks, cfg)
     B, S = points.shape[:2]
@@ -142,11 +144,11 @@ def refine_quats_multi(cfg: Config, points: jnp.ndarray,
     s0 = cfg.sigma_end if sigma is None else sigma
     s1 = s0 if sigma_end is None else sigma_end
 
-    def agg_sse(q_raw, sig_val):
+    def agg_sse(q_raw, sig_val, value_only=False):
         q = q_raw / jnp.linalg.norm(q_raw, axis=-1, keepdims=True)
         sig = jnp.full((B, S), sig_val, jnp.float32)
         sse = _pair_sse_multi(cfg, points, q, dists, sig, masks,
-                              rgb, images, rgb_w)
+                              rgb, images, rgb_w, value_only=value_only)
         return jnp.sum(sse * w, axis=1) / jnp.maximum(
             jnp.sum(src_w, axis=0), 1.0)[None, :, None]  # (B,V,C)
 
@@ -164,7 +166,7 @@ def refine_quats_multi(cfg: Config, points: jnp.ndarray,
         body, (init_quats, opt.init(init_quats)),
         jnp.arange(steps, dtype=jnp.float32))
     q = q_raw / jnp.linalg.norm(q_raw, axis=-1, keepdims=True)
-    return q, agg_sse(q_raw, s1)
+    return q, agg_sse(q_raw, s1, value_only=True)
 
 
 def refine_quats(cfg: Config, points: jnp.ndarray, init_quats: jnp.ndarray,
