@@ -381,12 +381,13 @@ def _rgb_fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref, cg_ref,
         trans, img = carry
         raw = occ_s[pl.ds(d * HT, HT), :]
         v = jnp.clip(raw, 0.0, 1.0 - _EPS)
-        w = v * trans
-        denom = jnp.maximum(raw, _ONORM_EPS)
+        # one divide per depth step (VPU: 3 divides measured as real cost
+        # in the D-long sweep), then 3 multiplies
+        wd = v * trans / jnp.maximum(raw, _ONORM_EPS)
         img = img + jnp.stack([
-            w * r_s[pl.ds(d * HT, HT), :] / denom,
-            w * g_s[pl.ds(d * HT, HT), :] / denom,
-            w * b_s[pl.ds(d * HT, HT), :] / denom])
+            wd * r_s[pl.ds(d * HT, HT), :],
+            wd * g_s[pl.ds(d * HT, HT), :],
+            wd * b_s[pl.ds(d * HT, HT), :]])
         return trans * (1.0 - v), img
 
     trans, img = jax.lax.fori_loop(
@@ -1470,12 +1471,13 @@ def _rgb_mse_fwd_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref, cr_ref,
         trans, img = carry
         raw = occ_s[pl.ds(d * HT, HT), :]
         v = jnp.clip(raw, 0.0, 1.0 - _EPS)
-        w = v * trans
-        denom = jnp.maximum(raw, _ONORM_EPS)
+        # one divide per depth step (VPU: 3 divides measured as real cost
+        # in the D-long sweep), then 3 multiplies
+        wd = v * trans / jnp.maximum(raw, _ONORM_EPS)
         img = img + jnp.stack([
-            w * r_s[pl.ds(d * HT, HT), :] / denom,
-            w * g_s[pl.ds(d * HT, HT), :] / denom,
-            w * b_s[pl.ds(d * HT, HT), :] / denom])
+            wd * r_s[pl.ds(d * HT, HT), :],
+            wd * g_s[pl.ds(d * HT, HT), :],
+            wd * b_s[pl.ds(d * HT, HT), :]])
         return trans * (1.0 - v), img
 
     trans, img = jax.lax.fori_loop(
@@ -1560,12 +1562,12 @@ def _rgb_mse_bwd_kernel_soa(sigma_ref, gsse_ref, gz_ref, gy_ref, gx_ref,
         t_s[sl, :] = trans
         raw = occ_s[sl, :]
         v = jnp.clip(raw, 0.0, 1.0 - _EPS)
-        w = v * trans
-        denom = jnp.maximum(raw, _ONORM_EPS)
+        # one divide per depth step, then 3 multiplies (see _rgb_fwd)
+        wd = v * trans / jnp.maximum(raw, _ONORM_EPS)
         img = img + jnp.stack([
-            w * r_s[sl, :] / denom,
-            w * g_s[sl, :] / denom,
-            w * b_s[sl, :] / denom])
+            wd * r_s[sl, :],
+            wd * g_s[sl, :],
+            wd * b_s[sl, :]])
         return trans * (1.0 - v), img
 
     trans, img = jax.lax.fori_loop(
@@ -1715,12 +1717,12 @@ def _rgb_mse_onepass_kernel_soa(sigma_ref, ct_ref, gz_ref, gy_ref, gx_ref,
         t_s[sl, :] = trans
         raw = occ_s[sl, :]
         v = jnp.clip(raw, 0.0, 1.0 - _EPS)
-        w = v * trans
-        denom = jnp.maximum(raw, _ONORM_EPS)
+        # one divide per depth step, then 3 multiplies (see _rgb_fwd)
+        wd = v * trans / jnp.maximum(raw, _ONORM_EPS)
         img = img + jnp.stack([
-            w * r_s[sl, :] / denom,
-            w * g_s[sl, :] / denom,
-            w * b_s[sl, :] / denom])
+            wd * r_s[sl, :],
+            wd * g_s[sl, :],
+            wd * b_s[sl, :]])
         return trans * (1.0 - v), img
 
     trans, img = jax.lax.fori_loop(
@@ -1964,12 +1966,12 @@ def _rgb_mse_onepass2_kernel_soa(sigma_ref, gz_ref, gy_ref, gx_ref,
         t_s[sl, :] = trans
         raw = occ_s[sl, :]
         v = jnp.clip(raw, 0.0, 1.0 - _EPS)
-        w = v * trans
-        denom = jnp.maximum(raw, _ONORM_EPS)
+        # one divide per depth step, then 3 multiplies (see _rgb_fwd)
+        wd = v * trans / jnp.maximum(raw, _ONORM_EPS)
         img = img + jnp.stack([
-            w * r_s[sl, :] / denom,
-            w * g_s[sl, :] / denom,
-            w * b_s[sl, :] / denom])
+            wd * r_s[sl, :],
+            wd * g_s[sl, :],
+            wd * b_s[sl, :]])
         return trans * (1.0 - v), img
 
     trans, img = jax.lax.fori_loop(
@@ -2015,7 +2017,13 @@ def _run_rgb_mse_onepass2_soa(gz, gy, gx, cr, cg, cb, sigma, masks,
                               images, S, V, K, D, radius, chunk, bf16):
     P, N = gz.shape
     HT = _h_tile_rgb(D)
-    chunk = _chunk_budget(D, HT, chunk, live=14,
+    # live=12 like the ct one-pass kernel: the sil- and RGB-column
+    # contraction phases run SEQUENTIALLY inside the chunk body, so the
+    # peak set of live (chunk, D*HT) buffers matches the single-column
+    # kernels (~5-6 + Mosaic's conservative 2x margin). live=14 halved
+    # the chunk to 256 at 64^3 and erased the kernel's MXU advantage
+    # (measured 67.3ms vs the two-kernel op's 66.7ms at c3-RGB shapes).
+    chunk = _chunk_budget(D, HT, chunk, live=12,
                           reserve=10 * D * HT * D * 4,
                           budget=56 * 2 ** 20)
     ops = tuple(c.reshape(P, 1, N) for c in (gz, gy, gx, cr, cg, cb))
