@@ -4,7 +4,6 @@ for the procedural one so every preset is runnable with no data on disk."""
 
 from __future__ import annotations
 
-from tpu_unsup_pc.ops.pallas.render_kernel import AUTO_BAND
 from tpu_unsup_pc.utils.config import Config
 
 _SHAPENET_13 = (
@@ -42,15 +41,24 @@ _PRESETS = {
     # projector's regime. Measured (tools/band_crossover_bench.py, v5e-1):
     # dense fwd+bwd 126.6ms vs banded 49.8ms (2.54x, sort tax included) at
     # 20 pairs x 8192 pts; the crossover vs the default dense kernel sits
-    # between 128^3 (dense wins) and 192^3 (banded 1.84x). AUTO_BAND
-    # (render_kernel.py, =56) covers a 512-pt sorted chunk's depth span
-    # (~16 cells at uniform depth) + 2x(radius+2) margin. Encoder gets two
+    # between 128^3 (dense wins) and 192^3 (banded 1.84x). Encoder gets two
     # extra stride-2 stages so the conv stack still lands on a 4x4 map.
+    #
+    # The r5 collapse at this preset (all 8000 points at one spot,
+    # chamfer 0.486 vs 0.227 random; runs/c4xl_collapse) was PRIMARILY a
+    # dataset bug — the GT renderer produced near-empty masks at 256px
+    # (data/synthetic._mass_scale has the mechanism and numbers) — but
+    # the sigma protocol is kept world-equivalent anyway: sigma is in
+    # CELL units, so 6.0 at 256^3 is c4's 3.0-at-128^3 coarse-to-fine
+    # smoothing at 2x the resolution. The wider start raises the static
+    # radius to 25, whose 2*(radius+2) margin starves AUTO_BAND=56
+    # (every chunk would lax.cond to dense): pallas_band=80 covers
+    # margin 54 + a 512-pt sorted chunk's ~16-cell span.
     "c4xl_256grid": Config(
         categories=_SHAPENET_13, dataset="shapenet", image_size=256,
         vox_size=256, pc_num_points=8000, predict_pose=False,
-        sigma_start=3.0, sigma_end=0.5, sigma_anneal_steps=60000,
-        batch_size=2, source_views=1, pallas_band=AUTO_BAND,
+        sigma_start=6.0, sigma_end=0.5, sigma_anneal_steps=60000,
+        batch_size=2, source_views=1, pallas_band=80,
         enc_channels=(32, 64, 128, 256, 256, 256)),
     # BASELINE config 5: RGB appearance splatting, sharded over v5e-8
     "c5_rgb_sharded": Config(

@@ -133,21 +133,58 @@ def _make_cloud(rng, n, shape_set="classic"):
 
 
 # --------------------------------------------------------------- renderer
+def _gt_render_sigma(image_size: int) -> float:
+    """GT-render splat sigma in CELL units, scaled so the WORLD-space
+    footprint of the _N_GT surface samples is resolution-independent
+    (anchored at 0.7 cells for the 64px datasets the quality anchors were
+    measured on; <=64px unchanged)."""
+    return 0.7 * max(1.0, image_size / 64.0)
+
+
+def _mass_scale(image_size: int) -> float:
+    """Resolution-invariant GT silhouettes need a per-point MASS rescale,
+    not just a sigma rescale: each sample's splat mass is normalized to 1,
+    so the expected column mass is N_GT / silhouette-pixel-count ~ 1/H² —
+    at 256px the raw DRC silhouette saturates at ~0.15 and the 0.4 mask
+    threshold yields near-empty masks.
+
+    MEASURED FAILURE behind this (r5, runs/c4xl_collapse): fixed-sigma
+    0.7 at 256px gave 2.6% mask coverage (isolated dots) vs 40-48% at
+    32px; sigma scaling alone made it WORSE (1.1% — mass conservation
+    just spreads the same mass below threshold). The training target
+    itself degenerated to near-empty masks, so the model correctly
+    collapsed to a single point (held-out chamfer 0.486, worse than the
+    0.227 random baseline) regardless of the training-side sigma anneal.
+
+    The fix: sil_eff = 1 - (1 - sil)^scale with scale = (H/64)² — exactly
+    the silhouette the same cloud would render if each point carried
+    scale x mass. Identity at <=64px, so every committed <=64px anchor's
+    dataset is bit-unchanged."""
+    return max(1.0, (image_size / 64.0) ** 2)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "render_sigma"))
 def _render_views(cfg: Config, points, rgb, azimuth, elevation, distance,
-                  render_sigma: float = 0.7):
+                  render_sigma: float | None = None):
     """(M,N,3) clouds + (M,V) poses + (M,V) camera distances -> masks
     (M,V,H,W), images (M,V,H,W,3). Binary-ish masks by thresholding the
     fine-sigma silhouette."""
+    if render_sigma is None:
+        render_sigma = _gt_render_sigma(cfg.image_size)
     render_cfg = cfg.replace(splat_mode="gauss", proj_mode="drc",
                              vox_size=max(cfg.vox_size, cfg.image_size))
+
+    scale = _mass_scale(cfg.image_size)
 
     def one(pts, col, az, el, dist):
         cam = make_camera(az, el, dist, cfg.focal_length)
         out = project_pointcloud(pts, cam, render_sigma, render_cfg, rgb=col)
-        mask = (out.silhouette > 0.4).astype(jnp.float32)
-        img = (out.rgb_image * out.silhouette[..., None]
-               + (1.0 - out.silhouette[..., None]))    # white background
+        # resolution-invariant silhouette (see _mass_scale): identity at
+        # <=64px, mass-rescaled at finer grids
+        sil = 1.0 - (1.0 - out.silhouette) ** scale
+        mask = (sil > 0.4).astype(jnp.float32)
+        img = (out.rgb_image * sil[..., None]
+               + (1.0 - sil[..., None]))               # white background
         return mask, img
 
     per_view = jax.vmap(one, in_axes=(None, None, 0, 0, 0))
@@ -182,7 +219,10 @@ class SyntheticShapes:
             key_fields = (cfg.image_size, cfg.vox_size, cfg.num_views,
                           cfg.synth_shapes, cfg.synth_dist_jitter,
                           cfg.camera_distance, cfg.focal_length,
-                          cfg.depth_extent, _N_GT, seed, num_models)
+                          cfg.depth_extent, _N_GT,
+                          _gt_render_sigma(cfg.image_size),
+                          _mass_scale(cfg.image_size),
+                          seed, num_models)
             key = zlib.crc32(repr(key_fields).encode())
             cache_path = os.path.join(cache_dir,
                                       f"synth_{key:08x}_{num_models}.npz")

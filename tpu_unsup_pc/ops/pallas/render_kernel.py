@@ -97,6 +97,16 @@ def _chunk_budget(D: int, HT: int, chunk: int, live: int,
 #     v5e-1 fwd+bwd 3.91ms/9.55ms (40x2k@64^3 / 6x8k@128^3) vs recompute
 #     4.06ms/7.41ms — ties at 64^3, loses at 128^3 (the forward's grid
 #     writes stall its pipeline more than the backward's re-splat costs).
+#   * Log-sum collapse (r5): replace the D-step serial fori cumprod +
+#     cotangent-fill loops with trans_total = exp(sum_d log1p(-v)) (a
+#     full-grid elementwise pass + strided row reduction via reshape,
+#     cotangent via pltpu.repeat) — the DRC collapse only needs the
+#     TOTAL product, so the scan is mathematically unnecessary. Measured
+#     SLOWER on v5e at 64^3: bench 24.36M vs 24.94M ppv/s (-2.3%, cv
+#     0.0008). Mosaic pipelines the tiny-block fori fine; the extra
+#     262k log1p transcendentals per (pair, tile) cost more than the
+#     loop they remove. The serial loops are NOT latency-bound — do not
+#     redo, including at 128^3 (same transcendental-to-loop ratio).
 
 _ONORM_EPS = 1e-6
 
