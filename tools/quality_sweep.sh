@@ -32,6 +32,11 @@ for which in $WHICH; do
     c1) run_one c1_quality c1_synth 12000 ;;
     c2) run_one c2_quality c2_synth 12000 ;;
     c4) run_one c4_quality c4_synth 6000 ;;
+    # r5 re-anchor: the r2 c4_quality trained on GT masks degraded by the
+    # fixed-mass renderer bug (data/synthetic._mass_scale) — 128px masks
+    # were eroded (sil ~0.46 vs the 0.4 threshold). Fresh dir so the r2
+    # artifact stays comparable.
+    c4r5) run_one c4_quality_r5 c4_synth 6000 ;;
     # 256^3 scale demo (r4): same protocol as c4 for an apples-to-apples
     # chamfer anchor; dataset gen at 256 models is a one-time ~15 min
     # cost through the tunnel (cached in .synth_cache thereafter)
