@@ -50,15 +50,25 @@ _PRESETS = {
     # (data/synthetic._mass_scale has the mechanism and numbers) — but
     # the sigma protocol is kept world-equivalent anyway: sigma is in
     # CELL units, so 6.0 at 256^3 is c4's 3.0-at-128^3 coarse-to-fine
-    # smoothing at 2x the resolution. The wider start raises the static
-    # radius to 25, whose 2*(radius+2) margin starves AUTO_BAND=56
-    # (every chunk would lax.cond to dense): pallas_band=80 covers
-    # margin 54 + a 512-pt sorted chunk's ~16-cell span.
+    # smoothing at 2x the resolution.
+    #
+    # band=112, MEASURED (r5): the all-or-nothing lax.cond needs EVERY
+    # sorted 512-pt chunk's depth span <= band - 2*(radius+2); radius is
+    # 25 at sigma 6.0 (margin 54). Realistic clouds under PERSPECTIVE
+    # have fat span tails (nearest/farthest chunks): at 8k-point density
+    # spans run ~9-27 cells typical but up to ~56 on spread clouds —
+    # band 80's budget (26) sat ON the edge and real training silently
+    # fell back to dense (observed 1.1M ppv/s = the dense rate, while
+    # the collapsed run's dot-clouds fit the band and ran 1.8M). Band
+    # 112's budget (58) covers the measured max with headroom; on
+    # fitting clouds banded measures 2.1x dense at band 80 (42 vs 88ms
+    # / 10 pairs) and 1.7x at band 112 (51ms) — robustness beats the
+    # extra 20%.
     "c4xl_256grid": Config(
         categories=_SHAPENET_13, dataset="shapenet", image_size=256,
         vox_size=256, pc_num_points=8000, predict_pose=False,
         sigma_start=6.0, sigma_end=0.5, sigma_anneal_steps=60000,
-        batch_size=2, source_views=1, pallas_band=80,
+        batch_size=2, source_views=1, pallas_band=112,
         enc_channels=(32, 64, 128, 256, 256, 256)),
     # BASELINE config 5: RGB appearance splatting, sharded over v5e-8
     "c5_rgb_sharded": Config(
