@@ -27,8 +27,17 @@ from tpu_unsup_pc.ops import project as project_mod
 def test_c4xl_preset_validates():
     cfg = presets.get("c4xl_synth")
     assert cfg.vox_size == 256 and cfg.image_size == 256
-    from tpu_unsup_pc.ops.pallas.render_kernel import AUTO_BAND
-    assert cfg.pallas_band == AUTO_BAND == 56
+    # r5: band 112 — the band must cover realistic per-chunk depth spans
+    # plus 2*(radius+2) at the preset's radius (25 at sigma_start 6.0),
+    # else the lax.cond silently falls back to dense every step (the r5
+    # band-80 finding, BASELINE.md honesty note). Enforce the margin
+    # relation rather than a magic number.
+    from tpu_unsup_pc.ops.splat import static_gauss_radius
+    radius = static_gauss_radius(max(cfg.sigma_start, cfg.sigma_end))
+    budget = cfg.pallas_band - 2 * (radius + 2)
+    assert cfg.pallas_band == 112 and budget >= 56, (
+        f"span budget {budget} must cover the measured realistic max "
+        "chunk span (~56 cells at 8k-pt density under perspective)")
     # two extra encoder stages keep the conv stack at a 4x4 final map
     assert len(cfg.enc_channels) == 6
 
