@@ -67,13 +67,16 @@ def test_splat_pallas_gated_to_baseline_grids(monkeypatch):
                                        use_pallas=True, chunk=32)
 
 
-@pytest.mark.parametrize("vox,expected_band", [(64, None), (128, None),
-                                               (192, 56), (256, 56)])
+@pytest.mark.parametrize("vox,autobands", [(64, False), (128, False),
+                                           (192, True), (256, True)])
 def test_render_sse_fused_autobands_large_grids(monkeypatch, vox,
-                                                expected_band):
+                                                autobands):
     """pallas_band=-1 means AUTO: one-pass kernel at baseline grids,
     banded two-pass at >=192^3 (measured crossover — see
-    render_kernel.render_drc_mse_auto docstring)."""
+    render_kernel.render_drc_mse_auto docstring). The auto width derives
+    from the radius (render_kernel.auto_band: span budget + planning
+    margin — a fixed 56 silently fell back to dense on real clouds,
+    the r5 band finding)."""
     from tpu_unsup_pc.ops.pallas import render_kernel
     from tpu_unsup_pc.utils.config import Config
 
@@ -106,10 +109,15 @@ def test_render_sse_fused_autobands_large_grids(monkeypatch, vox,
     masks = jnp.zeros((B, V, vox, vox), jnp.float32)
     out = project_mod.render_sse_fused(pts, quats, dists, sigma, masks, cfg)
     assert out.shape == (B, S, V, K)
-    if expected_band is None:
+    if not autobands:
         assert seen == {"onepass": True}
     else:
-        assert seen == {"auto_band": expected_band}
+        radius = splat_mod.static_gauss_radius(
+            max(cfg.sigma_start, cfg.sigma_end))
+        assert seen == {"auto_band": render_kernel.auto_band(radius)}
+        # the derived width must leave the measured realistic span budget
+        assert (seen["auto_band"] - 2 * (radius + 2)
+                >= render_kernel.AUTO_SPAN_BUDGET)
 
 
 def test_synthetic_render_chunk_scales_with_grid():

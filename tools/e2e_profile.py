@@ -192,7 +192,8 @@ def main(argv=None):
     if cfg.use_pallas and "render_grad" in res:
         import bench
         from tpu_unsup_pc.ops.pallas.render_kernel import (
-            AUTO_BAND, fused_mse_train_flops, fused_rgb_mse_train_flops)
+            auto_band, fused_mse_train_flops, fused_rgb_mse_train_flops)
+        from tpu_unsup_pc.ops.splat import static_gauss_radius
         P_pairs = B * S * V * K
         n_pad = N + ((-N) % cfg.point_chunk)
         if cfg.predict_rgb:
@@ -201,9 +202,11 @@ def main(argv=None):
             flops = fused_rgb_mse_train_flops(P_pairs, n_pad,
                                               cfg.vox_size, mode)
         else:
+            radius = static_gauss_radius(max(cfg.sigma_start,
+                                             cfg.sigma_end))
             band = cfg.pallas_band if cfg.pallas_band > 0 else (
-                AUTO_BAND if cfg.pallas_band < 0 and cfg.vox_size >= 192
-                else 0)
+                auto_band(radius)
+                if cfg.pallas_band < 0 and cfg.vox_size >= 192 else 0)
             flops = fused_mse_train_flops(P_pairs, n_pad, cfg.vox_size,
                                           band)
         mfu = {"kernel_tflops": round(flops / res["render_grad"] / 1e12, 2),

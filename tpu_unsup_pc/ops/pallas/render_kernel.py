@@ -1328,12 +1328,31 @@ def _mse_banded_vjp_bwd(pair_shape, vox_size, band, radius, chunk, bf16,
 render_drc_mse_banded_soa.defvjp(_mse_banded_vjp_fwd, _mse_banded_vjp_bwd)
 
 
-# Measured-optimal auto-band width (r4, tools/band_crossover_bench.py):
-# covers a 512-pt sorted chunk's typical depth span plus the 2*(radius+2)
-# kernel footprint margin at radius=13. Single source of truth — referenced
-# by ops/project.py's D>=192 auto-dispatch, the c4xl_256grid preset, and
-# tests/test_large_grid.py (ADVICE r4: keep the three sites from drifting).
+# Measured-optimal auto-band width (r4, tools/band_crossover_bench.py)
+# AT RADIUS 13 on the bench's clustered inputs: covers a 512-pt sorted
+# chunk's typical depth span plus the 2*(radius+2) footprint margin.
+# Kept as the crossover-bench constant; the DISPATCH derives its band
+# from auto_band(radius) below.
 AUTO_BAND = 56
+
+# Realistic per-chunk depth-span budget the band must cover (r5 span
+# analysis at 8k-point density under perspective: spans run ~9-27 cells
+# typical with tails to ~56 — the nearest/farthest sorted chunks fatten
+# under projection). A band sized below this makes render_drc_mse_auto's
+# all-or-nothing lax.cond silently fall back to dense on REAL clouds —
+# exactly what happened to the r5 256^3 quality runs at band 80 (budget
+# 26; BASELINE.md honesty note). 58 covers the measured max.
+AUTO_SPAN_BUDGET = 58
+
+
+def auto_band(radius: int) -> int:
+    """Band width for the D>=192 auto dispatch: the measured realistic
+    span budget plus the kernel's 2*(radius+2) planning margin, rounded
+    up to the /8 Mosaic alignment. radius 13 -> 88, radius 25 -> 112
+    (the c4xl preset value, measured banded-engaged at 1.29M ppv/s vs
+    the 1.1M dense fallback)."""
+    need = AUTO_SPAN_BUDGET + 2 * (radius + 2)
+    return ((need + 7) // 8) * 8
 
 
 def fused_mse_train_flops(pairs: int, n_padded: int, vox_size: int,

@@ -185,7 +185,7 @@ def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
     launch (exact for any downstream loss, argmin selection included —
     see render_drc_mse_onepass)."""
     from tpu_unsup_pc.ops.pallas.render_kernel import (
-        AUTO_BAND, render_drc_mse_auto, render_drc_mse_onepass)
+        auto_band, render_drc_mse_auto, render_drc_mse_onepass)
     B, S, N = points.shape[:3]
     V, K = quats.shape[1], quats.shape[2]
     D = cfg.vox_size
@@ -213,10 +213,13 @@ def render_sse_fused(points: jnp.ndarray, quats: jnp.ndarray,
         # 907ms fwd+bwd for 10 pairs x 8192 pts vs ~25ms banded (r4,
         # tools/band_crossover_bench.py — the dense (chunk, D*HT)
         # buffers shrink the chunk to starvation); crossover vs dense
-        # sits between 128^3 and 192^3. pallas_band=0 forces the
-        # unbanded kernels explicitly; sigma_grad (predict_scale) still
-        # requires the one-pass kernel and keeps the user's setting.
-        band = AUTO_BAND
+        # sits between 128^3 and 192^3. The width derives from the
+        # radius (r5: a fixed 56 left too little span budget and the
+        # lax.cond silently fell back to dense on real clouds — see
+        # render_kernel.auto_band). pallas_band=0 forces the unbanded
+        # kernels explicitly; sigma_grad (predict_scale) still requires
+        # the one-pass kernel and keeps the user's setting.
+        band = auto_band(radius)
     masks_c = masks.reshape(B * V, *masks.shape[-2:])
     if cfg.pallas_onepass and not band:
         sse = render_drc_mse_onepass(gz, gy, gx, sigma_k, masks_c,

@@ -147,9 +147,11 @@ class Config:
     pallas_bf16: bool = False      # bf16 MXU inputs in the fused render
     # depth-band width for the fused render+MSE kernel: -1 AUTO (dense at
     # <=128^3 where the depth-sort wrapper costs more than banding saves,
-    # banded at >=192^3 where the measured crossover flips — see
-    # render_drc_mse_auto / render_kernel.AUTO_BAND), 0 FORCES dense at
-    # any grid, else an explicit band width (positive multiple of 8)
+    # banded at >=192^3 where the measured crossover flips; the width
+    # derives from the radius — render_kernel.auto_band: realistic span
+    # budget + 2*(radius+2) planning margin, else the lax.cond silently
+    # falls back to dense on real clouds), 0 FORCES dense at any grid,
+    # else an explicit band width (positive multiple of 8)
     pallas_band: int = -1
     # one-pass value+gradient render+MSE kernels (render_drc_mse_onepass):
     # value_and_grad runs ONE rematerializing kernel instead of fwd + bwd
